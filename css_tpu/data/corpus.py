@@ -1,0 +1,174 @@
+"""Corpora: utterance inventories with speaker indexing.
+
+Replaces the reference's Lhotse manifests (css/datasets/separation.py:112-134
+builds a speaker->cuts index from a CutSet). A corpus is just a list of
+utterances with speakers; audio is numpy on the host. ``SyntheticCorpus``
+provides a self-contained CPU-generatable corpus for tests/benchmarks
+(SURVEY.md §4: "integration test = synthetic CPU-runnable mixtures").
+"""
+
+from __future__ import annotations
+
+import json
+import wave
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+
+@dataclass
+class Utterance:
+    utt_id: str
+    speaker: str
+    duration: float  # seconds
+    path: Optional[str] = None  # wav on disk ...
+    array: Optional[np.ndarray] = None  # ... or in-memory audio
+    sample_rate: int = 16000
+
+    def load(self) -> np.ndarray:
+        if self.array is not None:
+            return self.array
+        return read_wav(self.path)[0]
+
+
+def read_wav(path: str):
+    """Load a (mono or multichannel) PCM wav as float32 in [-1, 1]."""
+    with wave.open(str(path), "rb") as w:
+        sr = w.getframerate()
+        n = w.getnframes()
+        ch = w.getnchannels()
+        width = w.getsampwidth()
+        raw = w.readframes(n)
+    if width == 2:
+        data = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 4:
+        data = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported sample width {width}")
+    data = data.reshape(-1, ch).T  # (C, N)
+    return (data[0] if ch == 1 else data), sr
+
+
+def write_wav(path: str, data: np.ndarray, sr: int = 16000):
+    """Write float32 audio (N,) or (C, N) as 16-bit PCM wav."""
+    data = np.asarray(data)
+    if data.ndim == 1:
+        data = data[None]
+    pcm = np.clip(data.T * 32767.0, -32768, 32767).astype("<i2")
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(data.shape[0])
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm.tobytes())
+
+
+class Corpus:
+    """An utterance inventory with a speaker index."""
+
+    def __init__(self, utterances: Sequence[Utterance]):
+        self.utterances: List[Utterance] = list(utterances)
+        self.by_speaker: Dict[str, List[Utterance]] = {}
+        for u in self.utterances:
+            self.by_speaker.setdefault(u.speaker, []).append(u)
+        self.speakers = sorted(self.by_speaker)
+        if self.utterances:
+            self.sample_rate = self.utterances[0].sample_rate
+
+    def __len__(self):
+        return len(self.utterances)
+
+    @classmethod
+    def from_manifest(cls, path: str) -> "Corpus":
+        """Load a jsonl manifest: one {utt_id, speaker, duration, path} per line."""
+        utts = []
+        base = Path(path).parent
+        with open(path) as f:
+            for line in f:
+                rec = json.loads(line)
+                p = Path(rec["path"])
+                if not p.is_absolute():
+                    p = base / p
+                utts.append(Utterance(
+                    utt_id=rec["utt_id"], speaker=rec["speaker"],
+                    duration=float(rec["duration"]), path=str(p),
+                    sample_rate=int(rec.get("sample_rate", 16000))))
+        return cls(utts)
+
+    def to_manifest(self, path: str):
+        with open(path, "w") as f:
+            for u in self.utterances:
+                f.write(json.dumps({
+                    "utt_id": u.utt_id, "speaker": u.speaker,
+                    "duration": u.duration, "path": u.path,
+                    "sample_rate": u.sample_rate}) + "\n")
+
+
+class SyntheticCorpus(Corpus):
+    """Deterministic synthetic speech-like corpus (no external data needed).
+
+    Utterances are amplitude-modulated harmonic tones with per-speaker
+    fundamentals plus filtered noise — enough spectral structure for the
+    separation objective to be meaningful in tests and benchmarks.
+    """
+
+    def __init__(self, num_speakers: int = 8, utts_per_speaker: int = 6,
+                 min_dur: float = 3.0, max_dur: float = 8.0,
+                 sample_rate: int = 16000, seed: int = 0):
+        rng = np.random.default_rng(seed)
+        utts = []
+        for s in range(num_speakers):
+            f0 = 90.0 + 25.0 * s + rng.uniform(-5, 5)
+            for u in range(utts_per_speaker):
+                dur = float(rng.uniform(min_dur, max_dur))
+                n = int(dur * sample_rate)
+                t = np.arange(n) / sample_rate
+                sig = np.zeros(n, np.float32)
+                for h in range(1, 6):
+                    am = 0.5 + 0.5 * np.sin(
+                        2 * np.pi * rng.uniform(1.5, 4.0) * t + rng.uniform(0, 6))
+                    sig += (am * np.sin(2 * np.pi * f0 * h * t
+                                        + rng.uniform(0, 6))).astype(np.float32) / h
+                # breath noise, lowpass by cumsum smoothing
+                noise = rng.standard_normal(n).astype(np.float32)
+                kernel = np.ones(8, np.float32) / 8
+                noise = np.convolve(noise, kernel, mode="same")
+                sig = 0.1 * sig + 0.01 * noise
+                utts.append(Utterance(
+                    utt_id=f"spk{s}_utt{u}", speaker=f"spk{s}",
+                    duration=dur, array=sig, sample_rate=sample_rate))
+        super().__init__(utts)
+
+
+def synthetic_rir_pool(num: int = 16, sr: int = 16000, max_len: float = 0.25,
+                       seed: int = 1) -> List[np.ndarray]:
+    """Exponentially decaying noise RIRs (stand-in for measured RIRS_NOISES)."""
+    rng = np.random.default_rng(seed)
+    pool = []
+    for _ in range(num):
+        n = int(rng.uniform(0.05, max_len) * sr)
+        t60 = rng.uniform(0.1, 0.4)
+        decay = np.exp(-6.9 * np.arange(n) / (t60 * sr))
+        h = rng.standard_normal(n).astype(np.float32) * decay.astype(np.float32)
+        h[0] = 1.0  # direct path
+        pool.append(h / np.sqrt(np.sum(h * h)))
+    return pool
+
+
+def synthetic_noise_pool(num: int = 8, sr: int = 16000, dur: float = 4.0,
+                         seed: int = 2) -> List[np.ndarray]:
+    """Pink-ish noise cuts (stand-in for isotropic noise manifests)."""
+    rng = np.random.default_rng(seed)
+    pool = []
+    for _ in range(num):
+        n = int(dur * sr)
+        white = rng.standard_normal(n).astype(np.float32)
+        # crude 1/f shaping via leaky integrator
+        from scipy.signal import lfilter
+
+        a = 0.98
+        pink = lfilter([1 - a], [1, -a], white).astype(np.float32)
+        pink = pink / (np.std(pink) + 1e-8)
+        pool.append(pink)
+    return pool

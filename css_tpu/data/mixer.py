@@ -1,0 +1,149 @@
+"""On-the-fly 2-speaker mixture synthesis.
+
+Host-side numpy re-implementation of the reference's
+ContinuousSpeechSeparationDataset (css/datasets/separation.py:32-267):
+
+  per batch: sample one window size; until the batch is full, sample two
+  distinct speakers + one utterance each, swap so utt1 is longer, offset
+  utt2 uniformly in [0, dur1/2], mix, pad source1 right / source2 both
+  sides to the mixture length, chunk everything into equal windows dropping
+  the ragged tail, augment the MIXTURE windows only, and track the
+  cumulative overlap ratio.
+
+TPU-first deltas:
+  * window sizes are drawn from a small discrete bucket set instead of a
+    continuous uniform — each bucket is one static XLA shape, so jit
+    recompiles a handful of times instead of per-batch (SURVEY.md §7
+    "pad to a small set of bucketed frame counts");
+  * batches carry RAW waveforms; STFT/feature extraction happens on-device
+    inside the jitted train step (the reference burned dataloader-worker
+    CPU on Lhotse feature extraction — its own README calls the pipeline
+    I/O-bound, README.md:13-14).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from css_tpu.data.base import DATASETS
+from css_tpu.data.corpus import Corpus
+
+
+def default_window_buckets(min_window: float, max_window: float,
+                           step: float = 0.5) -> List[float]:
+    buckets = []
+    w = min_window
+    while w <= max_window + 1e-9:
+        buckets.append(round(w, 3))
+        w += step
+    return buckets
+
+
+@DATASETS.register("css")
+class MixtureSynthesizer:
+    """Infinite iterator of training batches of raw waveforms."""
+
+    @staticmethod
+    def add_args(parser):
+        parser.add_argument("--min-window-size", type=float, default=2.0)
+        parser.add_argument("--max-window-size", type=float, default=4.0)
+        parser.add_argument("--window-bucket-step", type=float, default=0.5)
+        parser.add_argument("--min-snr", type=float, default=5.0)
+        parser.add_argument("--max-snr", type=float, default=20.0)
+
+    @classmethod
+    def build_dataset(cls, corpus, conf):
+        return cls(
+            corpus,
+            batch_size=int(conf.get("batch_size", 32)),
+            min_window=float(conf.get("min_window_size", 2.0)),
+            max_window=float(conf.get("max_window_size", 4.0)),
+            bucket_step=float(conf.get("window_bucket_step", 0.5)),
+            min_snr=float(conf.get("min_snr", 5.0)),
+            max_snr=float(conf.get("max_snr", 20.0)),
+            rir_pool=conf.get("rir_pool"),
+            noise_pool=conf.get("noise_pool"),
+            seed=int(conf.get("seed", 0)),
+        )
+
+    def __init__(self, corpus: Corpus, batch_size: int = 32,
+                 min_window: float = 2.0, max_window: float = 4.0,
+                 bucket_step: float = 0.5,
+                 rir_pool=None, noise_pool=None,
+                 min_snr: float = 5.0, max_snr: float = 20.0,
+                 reverb_p: float = 0.5, noise_p: float = 0.5,
+                 seed: int = 0):
+        if len(corpus.speakers) < 2:
+            raise ValueError("need at least 2 speakers")
+        self.corpus = corpus
+        self.sr = corpus.sample_rate
+        self.batch_size = batch_size
+        self.window_buckets = default_window_buckets(min_window, max_window,
+                                                     bucket_step)
+        self.rng = np.random.default_rng(seed)
+        self.transforms = []
+        if rir_pool:
+            from css_tpu.data.augment import ReverbWithImpulseResponse
+
+            self.transforms.append(
+                ReverbWithImpulseResponse(rir_pool, p=reverb_p))
+        if noise_pool:
+            from css_tpu.data.augment import NoiseMix
+
+            self.transforms.append(
+                NoiseMix(noise_pool, p=noise_p, min_snr=min_snr,
+                         max_snr=max_snr))
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> Dict[str, np.ndarray]:
+        rng = self.rng
+        window_size = self.window_buckets[rng.integers(len(self.window_buckets))]
+        win = int(window_size * self.sr)
+        mixes, s1s, s2s = [], [], []
+        total_length = 0.0
+        total_overlap = 0.0
+        while len(mixes) < self.batch_size:
+            spk1, spk2 = rng.choice(len(self.corpus.speakers), 2, replace=False)
+            utts1 = self.corpus.by_speaker[self.corpus.speakers[spk1]]
+            utts2 = self.corpus.by_speaker[self.corpus.speakers[spk2]]
+            cut1 = utts1[rng.integers(len(utts1))]
+            cut2 = utts2[rng.integers(len(utts2))]
+            if cut1.duration < cut2.duration:
+                cut1, cut2 = cut2, cut1  # separation.py:187-189
+            w1 = cut1.load()
+            w2 = cut2.load()
+            off_t = rng.uniform(0, cut1.duration / 2)  # separation.py:192
+            off = int(off_t * self.sr)
+            mix_len = max(len(w1), off + len(w2))
+            mix_end_t = mix_len / self.sr
+            total_length += mix_end_t
+            total_overlap += min(cut2.duration, cut1.duration - off_t)
+            if mix_end_t < window_size:
+                continue
+            src1 = np.zeros(mix_len, np.float32)
+            src1[: len(w1)] = w1
+            src2 = np.zeros(mix_len, np.float32)
+            src2[off : off + len(w2)] = w2
+            mix = src1 + src2
+            num_windows = int(mix_end_t / window_size)
+            for k in range(num_windows):
+                st = k * win
+                m = mix[st : st + win]
+                for tr in self.transforms:  # mixture only (separation.py:233)
+                    m = tr(m, rng)
+                mixes.append(m)
+                s1s.append(src1[st : st + win])
+                s2s.append(src2[st : st + win])
+                if len(mixes) >= self.batch_size:
+                    break
+        return {
+            "mix": np.stack(mixes),
+            "source1": np.stack(s1s),
+            "source2": np.stack(s2s),
+            "lens": np.full(self.batch_size, win, np.int32),
+            "ovl": np.float32(total_overlap / max(total_length, 1e-9)),
+        }

@@ -1,0 +1,159 @@
+"""Continuous beamformer: stitched masks + waveform -> separated audio.
+
+TPU-native counterpart of css/executor/beamformer.py:7-183. All windows of
+a recording are beamformed as ONE jitted XLA program (batched complex
+7x7 solves) instead of a python loop over batches; the overlap-add margin
+logic is a clean partition of the output timeline, fixing the reference's
+double-counted boundary window (beamformer.py:57 ``batch_end+1`` —
+SURVEY.md §2.1 notes the shared hop-region is overlap-added twice).
+
+Beamformer types:
+  * "souden_mvdr" — masked Souden MVDR (reference default,
+    conf/config_1ch.yaml:21). NOTE for D=1 this degenerates to an energy
+    rescale of the mixture, exactly like the reference.
+  * "masking" — plain spectral masking resynthesis (the sane 1ch path).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from css_tpu.executor.windowing import unfold
+from css_tpu.ops import stft as stft_ops
+from css_tpu.ops.mvdr import souden_mvdr
+
+
+class Beamformer:
+    def __init__(
+        self,
+        bf_type: str = "souden_mvdr",
+        sr: int = 16000,
+        n_fft: int = 512,
+        hop_length: int = 256,
+        eval_win: float = 2.4,
+        eval_hop: float = 0.8,
+        proceed_margin: float = 2.0,
+        rescale: bool = True,
+        dedup_db: float = 15.0,
+        dedup_floor_db: float = -40.0,
+        extra_samples: int = 256,
+        diag_loading: float = 1e-15,
+    ):
+        self.bf_type = bf_type
+        self.sr = sr
+        self.n_fft = n_fft
+        self.hop_length = hop_length
+        self.win = int(eval_win * sr) + extra_samples
+        self.hop = int(eval_hop * sr)
+        self.mask_win = int(eval_win * sr / hop_length)
+        self.mask_hop = int(eval_hop * sr / hop_length)
+        self.margin = int(proceed_margin * sr)
+        self.rescale = rescale
+        self.dedup_db = dedup_db
+        self.dedup_floor = 10.0 ** (dedup_floor_db / 20.0)
+        self.diag_loading = diag_loading
+        self._process = jax.jit(self._process_impl)
+
+    # ------------------------------------------------------------------ core
+    def _beamform_windows(self, spec, speech_mask, noise_mask):
+        """spec (B, D, T', F) complex; masks (B, T, F) -> (B, T, F)."""
+        t = min(spec.shape[2], speech_mask.shape[1])
+        spec = spec[:, :, :t]
+        speech_mask = speech_mask[:, :t]
+        noise_mask = noise_mask[:, :t]
+        if self.bf_type == "masking":
+            out = speech_mask * spec[:, 0]
+        elif self.bf_type == "souden_mvdr":
+            out = souden_mvdr(spec, speech_mask, noise_mask,
+                              diag_loading=self.diag_loading)
+        else:
+            raise ValueError(f"unknown beamformer type {self.bf_type!r}")
+        if self.rescale:
+            # scale output energy to the masked-ch0 energy
+            # (beamformer.py:165-183)
+            masked = speech_mask * spec[:, 0]
+            masked_e = jnp.sqrt(jnp.mean(jnp.abs(masked) ** 2, axis=(1, 2),
+                                         keepdims=True))
+            out_e = jnp.sqrt(jnp.mean(jnp.abs(out) ** 2, axis=(1, 2),
+                                      keepdims=True))
+            out = out / jnp.maximum(out_e, 1e-12) * masked_e
+        return out
+
+    def _process_impl(self, wav_windows, m1, m2, mn):
+        """wav_windows (B, D, N); masks (B, T, F) -> two (B, N) wavs."""
+        spec = stft_ops.stft(wav_windows, self.n_fft, self.hop_length,
+                             center=True)  # (B, D, T', F)
+        out0 = self._beamform_windows(spec, m1, mn)
+        out1 = self._beamform_windows(spec, m2, mn)
+        # cross-stream dedup: duck the quieter stream when >dedup_db apart
+        # (beamformer.py:68-80)
+        s = jnp.stack([out0, out1], axis=1)  # (B, 2, T, F)
+        pow_db = 10.0 * jnp.log10(
+            jnp.sum(jnp.abs(s) ** 2, axis=(2, 3)) + 1e-30)  # (B, 2)
+        s_abs = jnp.abs(s)
+        gain = s_abs / jnp.maximum(jnp.max(s_abs, axis=1, keepdims=True),
+                                   1e-30)
+        ducked = jnp.maximum(gain, self.dedup_floor) * s
+        duck0 = (pow_db[:, 1] - pow_db[:, 0] > self.dedup_db)[:, None, None]
+        duck1 = (pow_db[:, 0] - pow_db[:, 1] > self.dedup_db)[:, None, None]
+        out0 = jnp.where(duck0, ducked[:, 0], s[:, 0])
+        out1 = jnp.where(duck1, ducked[:, 1], s[:, 1])
+        n = wav_windows.shape[-1]
+        wav0 = stft_ops.istft(out0, self.n_fft, self.hop_length, center=True,
+                              length=n)
+        wav1 = stft_ops.istft(out1, self.n_fft, self.hop_length, center=True,
+                              length=n)
+        return wav0, wav1
+
+    # ------------------------------------------------------------- assembly
+    def _assemble(self, wavs: np.ndarray, total: int) -> np.ndarray:
+        """Stitch per-window wavs into the timeline via the proceed-margin
+        partition (beamformer.py:104-118, minus the double-count bug)."""
+        out = np.zeros(total, np.float32)
+        b = wavs.shape[0]
+        for i in range(b):
+            st = i * self.hop
+            if i == 0:
+                seg = wavs[0, : self.margin]
+                out[: self.margin] = seg[: max(0, min(self.margin, total))]
+            elif i == b - 1:
+                lo = st + self.margin - self.hop
+                seg = wavs[i, self.margin - self.hop :]
+                out[lo : lo + len(seg)] = seg[: max(0, total - lo)]
+            else:
+                lo = st + self.margin - self.hop
+                hi = st + self.margin
+                out[lo:hi] = wavs[i, self.margin - self.hop : self.margin]
+        return out
+
+    def continuous_process(self, wav: np.ndarray,
+                           masks: Tuple[np.ndarray, np.ndarray, np.ndarray]):
+        """wav (D, T) or (T,); masks: three (T_frames, F) stitched masks.
+
+        Returns (wav0, wav1), each (T,), peak-normalized to 0.9
+        (beamformer.py:122-123).
+        """
+        wav = np.asarray(wav, np.float32)
+        if wav.ndim == 1:
+            wav = wav[None]
+        total = wav.shape[-1]
+        wav_windows = unfold(wav, self.win, self.hop)  # (B, D, N)
+        mask_windows = [
+            unfold(np.asarray(m, np.float32).T, self.mask_win, self.mask_hop)
+            for m in masks
+        ]  # each (B, F, Tw)
+        b = min([wav_windows.shape[0]] + [mw.shape[0] for mw in mask_windows])
+        wav_windows = wav_windows[:b]
+        m1, m2, mn = [np.transpose(mw[:b], (0, 2, 1)) for mw in mask_windows]
+        wav0, wav1 = self._process(
+            jnp.asarray(wav_windows), jnp.asarray(m1), jnp.asarray(m2),
+            jnp.asarray(mn))
+        res0 = self._assemble(np.asarray(wav0), total)
+        res1 = self._assemble(np.asarray(wav1), total)
+        res0 = res0 * 0.9 / max(np.abs(res0).max(), 1e-12)
+        res1 = res1 * 0.9 / max(np.abs(res1).max(), 1e-12)
+        return res0, res1

@@ -1,0 +1,80 @@
+"""End-to-end continuous separation pipeline.
+
+Drives separator -> stitcher -> beamformer per recording, mirroring
+scripts/python/separate_libricss.py:65-82 (which writes {key}_0.wav /
+{key}_1.wav per recording). Configured from the same YAML schema as the
+reference (conf/config_1ch.yaml / config_7ch.yaml).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, Optional
+
+import numpy as np
+
+from css_tpu.data.corpus import write_wav
+from css_tpu.executor.beamformer import Beamformer
+from css_tpu.executor.separator import Separator
+from css_tpu.executor.stitcher import Stitcher
+
+
+class CssPipeline:
+    def __init__(self, model, variables, config: Dict, sr: int = 16000):
+        """config follows the reference YAML schema:
+        {separation: {...}, stitching: {...}, beamforming: {...}}
+        (conf/config_1ch.yaml:5-27)."""
+        sep = config.get("separation", {})
+        sti = config.get("stitching", {})
+        bf = config.get("beamforming", {})
+        self.sr = int(config.get("sampling_rate", sr))
+        self.separator = Separator(
+            model, variables, sr=self.sr,
+            eval_win=float(sep.get("eval_win", 2.4)),
+            eval_hop=float(sep.get("eval_hop", 0.8)),
+            frame_len=int(sep.get("frame_length", 512)),
+            frame_hop=int(sep.get("frame_shift", 256)),
+            batch_size=int(sep.get("batch_size", 32)),
+            ipd_index=sep.get("ipd"),
+            merge=bool(sep.get("merge", False)),
+            merge_threshold=float(sep.get("merge_threshold", 16.0)),
+        )
+        self.stitcher = Stitcher(
+            eval_win=float(sti.get("eval_win", sep.get("eval_win", 2.4))),
+            eval_hop=float(sti.get("eval_hop", sep.get("eval_hop", 0.8))),
+            fft_hop=int(sti.get("hop_size", sep.get("frame_shift", 256))),
+            sr=self.sr,
+            wta_floor=float(bf.get("wta_thresh", 1e-4)),
+        )
+        bf_type = bf.get("type", "souden_mvdr")
+        # accept the reference's asteroid class names (conf/config_1ch.yaml:21)
+        if "mvdr" in bf_type.lower():
+            bf_type = "souden_mvdr"
+        elif "mask" in bf_type.lower():
+            bf_type = "masking"
+        self.beamformer = Beamformer(
+            bf_type=bf_type,
+            sr=self.sr,
+            n_fft=int(bf.get("n_fft", 512)),
+            hop_length=int(bf.get("hop_size", 256)),
+            eval_win=float(bf.get("eval_win", 2.4)),
+            eval_hop=float(bf.get("eval_hop", 0.8)),
+            proceed_margin=float(bf.get("proceed_margin", 2.0)),
+        )
+
+    def process(self, wav: np.ndarray):
+        """wav (T,) or (C, T) -> (wav0, wav1) separated streams."""
+        masks, mags = self.separator.separate(wav)
+        stitched = self.stitcher(masks, mags)
+        stitched = [np.asarray(m) for m in stitched]
+        return self.beamformer.continuous_process(wav, stitched)
+
+    def process_recording(self, key: str, wav: np.ndarray, out_dir: str):
+        """Separate one recording and write {key}_0.wav / {key}_1.wav
+        (separate_libricss.py:81-82)."""
+        out0, out1 = self.process(wav)
+        out_dir = Path(out_dir)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        write_wav(out_dir / f"{key}_0.wav", out0, self.sr)
+        write_wav(out_dir / f"{key}_1.wav", out1, self.sr)
+        return out0, out1

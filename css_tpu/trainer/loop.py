@@ -1,0 +1,216 @@
+"""Jitted training loop.
+
+One XLA program per step fuses: on-device STFT feature extraction, model
+forward, vectorized PIT loss, backward, global-norm clipping, and the
+optimizer update — replacing the reference's python-per-step pipeline
+(css/trainer/iteration_types.py:17-64). bf16 model compute is opt-in per
+model (compute_dtype); no loss scaling is needed on TPU (the reference's
+fp16 GradScaler path, iteration_types.py:28-30, has no bf16 analogue).
+
+Non-finite protection: a step whose gradients are non-finite applies a
+zero update instead (stronger than the reference, which only skips
+checkpointing NaN epochs, train.py:313).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Dict, Optional
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+from css_tpu.ops.features import FeatureExtractor
+from css_tpu.trainer.lr_schedule import LRSchedule
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def make_optimizer(name: str, schedule: LRSchedule, weight_decay: float = 0.0,
+                   grad_thresh: float = 30.0) -> optax.GradientTransformation:
+    """sgd | adam with clip-by-global-norm and the 3-phase schedule.
+
+    Matches the reference exactly (scripts/python/train.py:207-212):
+    SGD(momentum=0) or Adam(weight_decay) — torch Adam's weight_decay is L2
+    added to the gradient BEFORE the Adam scaling, hence add_decayed_weights
+    precedes scale_by_adam (NOT decoupled adamw).
+    """
+    parts = [optax.clip_by_global_norm(grad_thresh)]
+    if name == "adam":
+        if weight_decay:
+            parts.append(optax.add_decayed_weights(weight_decay))
+        parts.append(optax.scale_by_adam())
+    elif name != "sgd":
+        raise ValueError(f"unknown optimizer {name!r}")
+    parts.append(optax.scale_by_learning_rate(schedule))
+    return optax.chain(*parts)
+
+
+class Trainer:
+    """Builds and runs the jitted train/eval steps for one model+objective."""
+
+    def __init__(
+        self,
+        model,
+        objective,
+        schedule: LRSchedule,
+        optim: str = "adam",
+        weight_decay: float = 0.0,
+        grad_thresh: float = 30.0,
+        input_domain: str = "stft",  # "stft" | "time"
+        frame_len: int = 512,
+        frame_hop: int = 256,
+        donate: bool = True,
+    ):
+        self.model = model
+        self.objective = objective
+        self.schedule = schedule
+        self.tx = make_optimizer(optim, schedule, weight_decay, grad_thresh)
+        self.input_domain = input_domain
+        self.features = FeatureExtractor(frame_len, frame_hop)
+        self._train_step = jax.jit(
+            self._train_step_impl, donate_argnums=(0,) if donate else ())
+        self._eval_step = jax.jit(self._eval_step_impl)
+
+    # ---------------------------------------------------------------- setup
+    def init_state(self, rng, example_batch) -> TrainState:
+        feats = self._featurize(jax.tree.map(jnp.asarray, example_batch))
+        variables = self.model.init(
+            {"params": rng, "dropout": rng}, feats["input"], train=True)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        opt_state = self.tx.init(params)
+        return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                          batch_stats=batch_stats, opt_state=opt_state)
+
+    def state_from_variables(self, variables) -> TrainState:
+        params = variables["params"]
+        return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                          batch_stats=variables.get("batch_stats", {}),
+                          opt_state=self.tx.init(params))
+
+    # ------------------------------------------------------------- features
+    def _featurize(self, batch) -> Dict[str, jax.Array]:
+        """Raw waveforms -> model inputs + objective targets (on device)."""
+        if self.input_domain == "time":
+            return {"input": batch["mix"], "source1": batch["source1"],
+                    "source2": batch["source2"]}
+        mix_mag = jnp.abs(self.features_stft(batch["mix"]))
+        s1_mag = jnp.abs(self.features_stft(batch["source1"]))
+        s2_mag = jnp.abs(self.features_stft(batch["source2"]))
+        return {"input": mix_mag, "source1": s1_mag, "source2": s2_mag}
+
+    def features_stft(self, x):
+        from css_tpu.ops import stft as stft_ops
+
+        return stft_ops.stft(x, self.features.frame_len, self.features.frame_hop,
+                             center=False)
+
+    # ----------------------------------------------------------------- step
+    def _loss_fn(self, params, batch_stats, feats, rng, train: bool):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        out = self.model.apply(
+            variables, feats["input"], train=train,
+            rngs={"dropout": rng} if train else None,
+            mutable=["batch_stats"] if (train and batch_stats) else False)
+        new_stats = batch_stats
+        if train and batch_stats:
+            out, updates = out
+            new_stats = updates.get("batch_stats", batch_stats)
+        y_pred = out[0] if isinstance(out, tuple) else out
+        loss, aux = self.objective(y_pred, feats)
+        return loss, (aux, new_stats)
+
+    def _train_step_impl(self, state: TrainState, batch, rng):
+        feats = self._featurize(batch)
+        grad_fn = jax.value_and_grad(self._loss_fn, has_aux=True)
+        (loss, (aux, new_stats)), grads = grad_fn(
+            state.params, state.batch_stats, feats, rng, True)
+        grad_norm = optax.global_norm(grads)
+        finite = jnp.isfinite(loss) & jnp.isfinite(grad_norm)
+        updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        # non-finite step -> keep everything unchanged
+        new_params, new_opt, new_stats = jax.tree.map(
+            lambda new, old: jnp.where(finite, new, old),
+            (new_params, new_opt, new_stats),
+            (state.params, state.opt_state, state.batch_stats),
+        )
+        metrics = {
+            "loss": loss,
+            "grad_norm": grad_norm,
+            "lr": self.schedule(state.step),
+            "finite": finite,
+        }
+        for k, v in aux.items():
+            if k != "perms":
+                metrics[k] = v
+        return (
+            TrainState(step=state.step + 1, params=new_params,
+                       batch_stats=new_stats, opt_state=new_opt),
+            metrics,
+        )
+
+    def _eval_step_impl(self, state: TrainState, batch):
+        feats = self._featurize(batch)
+        loss, (aux, _) = self._loss_fn(
+            state.params, state.batch_stats, feats,
+            jax.random.PRNGKey(0), False)
+        return loss
+
+    # ---------------------------------------------------------------- loops
+    def train_one_epoch(self, state: TrainState, loader, batches_per_epoch: int,
+                        rng, log_fn: Optional[Callable] = None,
+                        sr: int = 16000):
+        """Fixed-size epoch (train.py:92 batches-per-epoch semantics).
+
+        Returns (state, avg_loss). Logs per-step metrics incl. the
+        north-star audio-seconds/sec/chip throughput.
+        """
+        total = 0.0
+        n_dev = max(jax.device_count(), 1)
+        it = iter(loader)
+        for i in range(1, batches_per_epoch + 1):
+            batch = next(it)
+            ovl = batch.pop("ovl", None)
+            lens = batch.pop("lens", None)
+            rng, step_rng = jax.random.split(rng)
+            t0 = time.perf_counter()
+            state, metrics = self._train_step(state, batch, step_rng)
+            loss = float(metrics["loss"])  # blocks; keeps step cadence honest
+            dt = time.perf_counter() - t0
+            total += loss
+            if log_fn is not None:
+                audio_sec = batch["mix"].shape[0] * batch["mix"].shape[1] / sr
+                log = {
+                    "iter": i,
+                    "loss": loss,
+                    "grad_norm": float(metrics["grad_norm"]),
+                    "lr": float(metrics["lr"]),
+                    "bsize": int(batch["mix"].shape[0]),
+                    "audio_sec_per_sec_per_chip": audio_sec / dt / n_dev,
+                }
+                if ovl is not None:
+                    log["ovl"] = float(ovl)
+                log_fn(log)
+        return state, total / batches_per_epoch
+
+    def validate(self, state: TrainState, loader, num_batches: int = 100):
+        """Eval loop (css/trainer/iteration_types.py:67-77)."""
+        it = iter(loader)
+        total = 0.0
+        for _ in range(num_batches):
+            batch = next(it)
+            batch.pop("ovl", None)
+            batch.pop("lens", None)
+            total += float(self._eval_step(state, batch))
+        return total / num_batches

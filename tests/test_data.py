@@ -1,0 +1,83 @@
+"""Mixture synthesis semantics (css/datasets/separation.py:163-267)."""
+
+import numpy as np
+
+from css_tpu.data import Corpus, SyntheticCorpus
+from css_tpu.data.corpus import (
+    read_wav,
+    synthetic_noise_pool,
+    synthetic_rir_pool,
+    write_wav,
+)
+from css_tpu.data.mixer import MixtureSynthesizer
+
+
+def test_synthetic_corpus_structure():
+    c = SyntheticCorpus(num_speakers=4, utts_per_speaker=3)
+    assert len(c) == 12
+    assert len(c.speakers) == 4
+    for u in c.utterances:
+        assert u.load().dtype == np.float32
+        assert abs(len(u.load()) / 16000 - u.duration) < 1e-3
+
+
+def test_mixer_batch_shapes_and_mixture_sum():
+    c = SyntheticCorpus(num_speakers=4, utts_per_speaker=3)
+    ds = MixtureSynthesizer(c, batch_size=8, min_window=2.0, max_window=4.0,
+                            seed=3)
+    b = next(ds)
+    assert b["mix"].shape == b["source1"].shape == b["source2"].shape
+    assert b["mix"].shape[0] == 8
+    win = b["mix"].shape[1]
+    assert win in {int(w * 16000) for w in ds.window_buckets}
+    # no augmentation configured -> mixture is exactly the sum of sources
+    np.testing.assert_allclose(b["mix"], b["source1"] + b["source2"], atol=1e-6)
+    assert 0.0 <= float(b["ovl"]) <= 1.0
+
+
+def test_mixer_augmentation_keeps_targets_clean():
+    c = SyntheticCorpus(num_speakers=4, utts_per_speaker=3)
+    rirs = synthetic_rir_pool(4)
+    noises = synthetic_noise_pool(2, dur=2.0)
+    ds = MixtureSynthesizer(c, batch_size=8, rir_pool=rirs, noise_pool=noises,
+                            reverb_p=1.0, noise_p=1.0, seed=4)
+    b = next(ds)
+    # mixture is augmented, targets stay the clean sources: mix != s1+s2
+    assert np.abs(b["mix"] - (b["source1"] + b["source2"])).max() > 1e-4
+    # targets are untouched clean signals (finite, bounded)
+    assert np.isfinite(b["source1"]).all() and np.isfinite(b["source2"]).all()
+
+
+def test_wav_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal(1000).astype(np.float32) * 0.1)
+    p = tmp_path / "x.wav"
+    write_wav(p, x, 16000)
+    y, sr = read_wav(p)
+    assert sr == 16000
+    np.testing.assert_allclose(y, x, atol=1e-4)
+    # multichannel
+    x2 = rng.standard_normal((3, 500)).astype(np.float32) * 0.1
+    p2 = tmp_path / "x2.wav"
+    write_wav(p2, x2, 16000)
+    y2, _ = read_wav(p2)
+    assert y2.shape == (3, 500)
+    np.testing.assert_allclose(y2, x2, atol=1e-4)
+
+
+def test_manifest_roundtrip(tmp_path):
+    rng = np.random.default_rng(1)
+    utts = []
+    for i in range(4):
+        x = rng.standard_normal(8000).astype(np.float32) * 0.1
+        p = tmp_path / f"u{i}.wav"
+        write_wav(p, x)
+        from css_tpu.data.corpus import Utterance
+
+        utts.append(Utterance(f"u{i}", f"spk{i % 2}", 0.5, path=str(p)))
+    c = Corpus(utts)
+    c.to_manifest(tmp_path / "manifest.jsonl")
+    c2 = Corpus.from_manifest(tmp_path / "manifest.jsonl")
+    assert len(c2) == 4 and c2.speakers == ["spk0", "spk1"]
+    np.testing.assert_allclose(c2.utterances[0].load(),
+                               c.utterances[0].load(), atol=1e-4)
