@@ -1,0 +1,81 @@
+"""Benchmark: chunked-inference throughput of the flagship model on TPU.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "audio_sec/s/chip", "vs_baseline": N}
+
+Measured quantity: real-time audio seconds advanced per wall second per
+chip by the chunked continuous-separation forward path (on-device STFT
+feature extraction + Conformer-large mask estimation, bf16 compute) on
+2.4 s windows with 0.8 s hop — the hot path of
+css/executor/separator.py:63-111.
+
+Baseline: the same forward on the reference PyTorch implementation
+(css/models/conformer.py defaults), CPU fp32 @ 4 threads, batch 32 =
+11.8 audio-sec/s (measured on this host; the reference publishes no
+numbers — BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_AUDIO_SEC_PER_S = 11.8  # reference torch-CPU forward (BASELINE.md)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from css_tpu.models.conformer import Conformer
+    from css_tpu.ops import stft as stft_ops
+
+    sr = 16000
+    eval_hop = 0.8
+    win_samples = int(2.4 * sr) + 256  # separator window (separator.py:67)
+    batch = 32
+
+    model = Conformer(compute_dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    frames = (win_samples - 512) // 256 + 1
+    feats0 = jnp.zeros((batch, frames, 257), jnp.float32)
+    variables = jax.jit(lambda r, f: model.init({"params": r}, f,
+                                                train=False))(rng, feats0)
+
+    @jax.jit
+    def forward(wav):
+        spec = stft_ops.stft(wav, 512, 256, center=False)
+        mag = jnp.abs(spec)
+        _, masks = model.apply(variables, mag, train=False)
+        return jnp.minimum(masks, 1.0)
+
+    wav = jnp.asarray(
+        np.random.default_rng(0).standard_normal(
+            (batch, win_samples)).astype(np.float32) * 0.1)
+
+    # warmup (compile)
+    forward(wav).block_until_ready()
+    forward(wav).block_until_ready()
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = forward(wav)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    n_chips = max(jax.local_device_count(), 1)
+    audio_sec = batch * iters * eval_hop
+    value = audio_sec / dt / n_chips
+    print(json.dumps({
+        "metric": "chunked_inference_throughput",
+        "value": round(value, 2),
+        "unit": "audio_sec/s/chip",
+        "vs_baseline": round(value / BASELINE_AUDIO_SEC_PER_S, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,240 @@
+"""Training CLI.
+
+TPU-native counterpart of scripts/python/train.py: same two-phase argument
+parsing (core args first, then the chosen components inject their flags,
+train.py:96-101), per-job frozen conf JSON (train.py:116-140), resume /
+warm-start (train.py:185-243), fixed-size epochs with validation and
+NaN-skipped checkpoints (train.py:277-317).
+
+Additions over the reference:
+  --strategy single|dp|replica_avg  on-mesh distribution (SURVEY.md §2.4)
+  --tp N                            tensor-parallel axis for the Conformer
+  --bf16                            bf16 model compute
+  --synthetic-data                  built-in corpus (no manifests needed)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from css_tpu.data import Corpus, SyntheticCorpus, build_dataset
+from css_tpu.data.base import DATASETS
+from css_tpu.data.corpus import synthetic_noise_pool, synthetic_rir_pool
+from css_tpu.models import MODELS
+from css_tpu.objectives import OBJECTIVES
+from css_tpu.trainer import LRSchedule, Trainer, checkpoint
+from css_tpu.utils.logging import MetricsLogger, get_logger
+
+log = get_logger(__name__)
+
+
+def parse_arguments(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--train-manifest", type=str, default=None)
+    parser.add_argument("--dev-manifest", type=str, default=None)
+    parser.add_argument("--synthetic-data", action="store_true",
+                        help="use the built-in synthetic corpus")
+    parser.add_argument("--synthetic-rirs", action="store_true",
+                        help="augment with synthetic RIR/noise pools")
+    parser.add_argument("--expdir", type=str, required=True)
+    parser.add_argument("--model", default="Conformer",
+                        choices=sorted(MODELS.keys()))
+    parser.add_argument("--objective", default="MSE",
+                        choices=sorted(OBJECTIVES.keys()))
+    parser.add_argument("--dataset", default="css",
+                        choices=sorted(DATASETS.keys()))
+    parser.add_argument("--batch-size", type=int, default=32)
+    parser.add_argument("--grad-thresh", type=float, default=30.0)
+    parser.add_argument("--optim", default="sgd", choices=["sgd", "adam"])
+    parser.add_argument("--lr", type=float, default=0.001)
+    parser.add_argument("--weight-decay", type=float, default=1e-8)
+    parser.add_argument("--bf16", action="store_true")
+    parser.add_argument("--resume", default=None)
+    parser.add_argument("--init", default=None)
+    parser.add_argument("--replace-output", action="store_true",
+                        help="with --init, re-initialize output layers "
+                             "(the reference gates this on an undefined "
+                             "flag, train.py:235)")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--job", type=int, default=1)
+    parser.add_argument("--num-epochs", type=int, default=10)
+    parser.add_argument("--batches-per-epoch", type=int, default=500)
+    parser.add_argument("--strategy", default="single",
+                        choices=["single", "dp", "replica_avg"])
+    parser.add_argument("--tp", type=int, default=1,
+                        help="tensor-parallel degree (dp strategy)")
+    parser.add_argument("--num-replicas", type=int, default=None,
+                        help="replica_avg strategy replica count")
+    parser.add_argument("--keep-every", type=int, default=20)
+    parser.add_argument("--keep-last", type=int, default=2)
+    parser.add_argument("--multihost", action="store_true",
+                        help="call jax.distributed.initialize()")
+
+    # two-phase parsing: component flags (train.py:96-101)
+    args, leftover = parser.parse_known_args(argv)
+    MODELS[args.model].add_args(parser)
+    DATASETS[args.dataset].add_args(parser)
+    add_obj = getattr(OBJECTIVES[args.objective], "add_args", None)
+    if add_obj:
+        add_obj(parser)
+    LRSchedule.add_args(parser)
+    parser.parse_args(argv, namespace=args)
+    return args
+
+
+def build_corpus(args):
+    if args.synthetic_data or not args.train_manifest:
+        corpus = SyntheticCorpus(seed=args.seed)
+        dev = SyntheticCorpus(seed=args.seed + 1000, num_speakers=4,
+                              utts_per_speaker=2)
+    else:
+        corpus = Corpus.from_manifest(args.train_manifest)
+        dev = (Corpus.from_manifest(args.dev_manifest)
+               if args.dev_manifest else None)
+    return corpus, dev
+
+
+def main(argv=None):
+    args = parse_arguments(argv)
+    expdir = Path(args.expdir)
+    expdir.mkdir(parents=True, exist_ok=True)
+
+    if args.multihost:
+        jax.distributed.initialize()
+
+    np.random.seed(args.seed)
+
+    conf_path = expdir / f"conf.{args.job}.json"
+    if args.resume is not None and conf_path.exists():
+        conf = json.load(open(conf_path))
+    else:
+        conf = vars(args).copy()
+        conf["epoch"] = 0
+        json.dump(conf, open(conf_path, "w"), indent=4, default=str)
+
+    corpus, dev_corpus = build_corpus(args)
+    conf["seed"] = args.seed + 1000 * args.job
+    if args.synthetic_rirs:
+        conf["rir_pool"] = synthetic_rir_pool()
+        conf["noise_pool"] = synthetic_noise_pool()
+    dataset = build_dataset(args.dataset, corpus, conf)
+    dev_dataset = (build_dataset(args.dataset, dev_corpus,
+                                 {**conf, "seed": 12345})
+                   if dev_corpus else None)
+
+    conf["bf16"] = args.bf16
+    model = MODELS[args.model].build_model(conf)
+    objective = OBJECTIVES[args.objective].build_objective(conf)
+    schedule = LRSchedule.from_conf(conf)
+    input_domain = "time" if args.model == "ConvTasNet" else "stft"
+    trainer = Trainer(model, objective, schedule, optim=args.optim,
+                      weight_decay=args.weight_decay,
+                      grad_thresh=args.grad_thresh,
+                      input_domain=input_domain)
+
+    rng = jax.random.PRNGKey(args.seed)
+    example = next(dataset)
+
+    strategy = None
+    if args.strategy == "dp":
+        from css_tpu.parallel import DataParallel, conformer_tp_spec, make_mesh
+
+        mesh = make_mesh(model=args.tp)
+        tp_spec = None
+        if args.tp > 1:
+            if args.model != "Conformer":
+                raise SystemExit("--tp>1 currently supports Conformer only")
+            tmp = trainer.init_state(rng, example)
+            tp_spec = conformer_tp_spec(tmp.params)
+        strategy = DataParallel(trainer, mesh, tp_spec=tp_spec)
+        state = strategy.init_state(rng, example)
+    elif args.strategy == "replica_avg":
+        from css_tpu.parallel import ReplicaAveraging, make_mesh
+
+        strategy = ReplicaAveraging(trainer, make_mesh(),
+                                    num_replicas=args.num_replicas)
+        rngs = jax.random.split(rng, strategy.num_replicas)
+        per = {k: v[: max(1, args.batch_size // strategy.num_replicas)]
+               for k, v in example.items() if hasattr(v, "ndim") and v.ndim}
+        state = strategy.init_state(rngs, per)
+    else:
+        state = trainer.init_state(rng, example)
+
+    n_params = sum(int(np.prod(x.shape))
+                   for x in jax.tree.leaves(state.params))
+    log.info("Training %s with %d parameters (%s strategy on %d devices)",
+             args.model, n_params, args.strategy, jax.device_count())
+
+    start_epoch = 0
+    if args.resume is not None:
+        ckpt = checkpoint.load_checkpoint(expdir / args.resume)
+        state = checkpoint.restore_state(ckpt, state)
+        start_epoch = ckpt["epoch"]
+        log.info("Resumed from %s at epoch %d", args.resume, start_epoch)
+    if args.init is not None:
+        ckpt = checkpoint.load_checkpoint(args.init)
+        state = state.replace(params=jax.tree.map(
+            jax.numpy.asarray,
+            checkpoint.warm_start(
+                jax.tree.map(np.asarray, state.params), ckpt["params"],
+                replace_output=args.replace_output)))
+        log.info("Warm-started from %s (replace_output=%s)", args.init,
+                 args.replace_output)
+
+    metrics_log = MetricsLogger(expdir / f"train.{args.job}.jsonl",
+                                echo_every=50)
+    for e in range(start_epoch, start_epoch + args.num_epochs):
+        if args.strategy == "replica_avg":
+            # independent replica epochs + averaging (train_parallel.sh:56-77)
+            it = iter(dataset)
+            total = 0.0
+            for i in range(args.batches_per_epoch):
+                batch = next(it)
+                batch.pop("ovl", None); batch.pop("lens", None)
+                rng, step_rng = jax.random.split(rng)
+                state, m = strategy.train_step(state, batch, step_rng)
+                total += float(np.mean(np.asarray(m["loss"])))
+            state = strategy.average(state)
+            avg_loss = total / args.batches_per_epoch
+        elif args.strategy == "dp":
+            it = iter(dataset)
+            total = 0.0
+            for i in range(args.batches_per_epoch):
+                batch = next(it)
+                batch.pop("ovl", None); batch.pop("lens", None)
+                rng, step_rng = jax.random.split(rng)
+                state, m = strategy.train_step(state, batch, step_rng)
+                total += float(m["loss"])
+            avg_loss = total / args.batches_per_epoch
+        else:
+            state, avg_loss = trainer.train_one_epoch(
+                state, dataset, args.batches_per_epoch, rng, metrics_log)
+
+        if dev_dataset is not None and args.strategy == "single":
+            val = trainer.validate(state, dev_dataset, num_batches=10)
+            log.info("Epoch %d :: train loss %.5f valid loss %.5f",
+                     e + 1, avg_loss, val)
+        else:
+            log.info("Epoch %d :: train loss %.5f", e + 1, avg_loss)
+
+        if not np.isnan(avg_loss):  # NaN epochs not checkpointed (train.py:313)
+            save_state = (strategy.replica_state(state)
+                          if args.strategy == "replica_avg" else state)
+            checkpoint.save_checkpoint(
+                expdir / f"{e + 1}.{args.job}.mdl", save_state,
+                epoch=e + 1, loss=avg_loss,
+                conf={k: v for k, v in conf.items()
+                      if isinstance(v, (str, int, float, bool, type(None)))})
+    metrics_log.close()
+    log.info("Done.")
+
+
+if __name__ == "__main__":
+    main()

@@ -78,6 +78,12 @@ class ReplicaAveraging:
         self.mesh = mesh if mesh is not None else make_mesh()
         self.num_replicas = (num_replicas if num_replicas is not None
                              else self.mesh.shape["data"])
+        if self.num_replicas != self.mesh.shape["data"]:
+            # the replica axis must equal the data axis: build a sub-mesh
+            # over the first num_replicas devices
+            self.mesh = make_mesh(
+                data=self.num_replicas, model=1,
+                devices=list(self.mesh.devices.flat)[: self.num_replicas])
         self._vstep = jax.jit(
             jax.vmap(trainer._train_step_impl, in_axes=(0, 0, 0)),
             donate_argnums=(0,))

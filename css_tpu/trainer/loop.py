@@ -81,9 +81,18 @@ class Trainer:
 
     # ---------------------------------------------------------------- setup
     def init_state(self, rng, example_batch) -> TrainState:
-        feats = self._featurize(jax.tree.map(jnp.asarray, example_batch))
-        variables = self.model.init(
-            {"params": rng, "dropout": rng}, feats["input"], train=True)
+        example_batch = {k: v for k, v in example_batch.items()
+                         if k in ("mix", "source1", "source2")}
+
+        # jit the whole init: eager per-op dispatch is pathological on
+        # remote/tunneled TPU backends
+        @jax.jit
+        def init_fn(rng, batch):
+            feats = self._featurize(batch)
+            return self.model.init(
+                {"params": rng, "dropout": rng}, feats["input"], train=True)
+
+        variables = init_fn(rng, jax.tree.map(jnp.asarray, example_batch))
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
         opt_state = self.tx.init(params)

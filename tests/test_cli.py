@@ -1,0 +1,107 @@
+"""End-to-end CLI flows: train -> combine -> separate on synthetic data."""
+
+import json
+import pickle
+
+import numpy as np
+import pytest
+import yaml
+
+from css_tpu.data.corpus import write_wav
+
+
+def test_train_cli_and_separate_cli(tmp_path):
+    from css_tpu.cli import combine, separate, train
+
+    expdir = tmp_path / "exp"
+    args = [
+        "--expdir", str(expdir), "--model", "BLSTM", "--objective", "MSE",
+        "--synthetic-data", "--batch-size", "4", "--batches-per-epoch", "3",
+        "--num-epochs", "1", "--optim", "adam", "--lr", "1e-3",
+        "--warmup", "2", "--blstm-hdim", "16", "--blstm-num-layers", "1",
+        "--min-window-size", "2", "--max-window-size", "2",
+    ]
+    train.main(args + ["--job", "1", "--seed", "0"])
+    train.main(args + ["--job", "2", "--seed", "1"])
+    assert (expdir / "1.1.mdl").exists() and (expdir / "1.2.mdl").exists()
+    assert (expdir / "conf.1.json").exists()
+    assert (expdir / "train.1.jsonl").exists()
+    rec = json.loads((expdir / "train.1.jsonl").read_text().splitlines()[0])
+    assert "loss" in rec and "audio_sec_per_sec_per_chip" in rec
+
+    # combine the two job checkpoints (keep inputs)
+    merged = expdir / "1.mdl"
+    combine.main([str(merged), "--models", str(expdir / "1.1.mdl"),
+                  str(expdir / "1.2.mdl"), str(expdir / "1.3.mdl"),
+                  "--save-models"])
+    assert merged.exists()
+    with open(merged, "rb") as f:
+        ck = pickle.load(f)
+    assert "params" in ck
+
+    # resume from the merged checkpoint
+    train.main(args + ["--job", "1", "--seed", "0", "--resume", "1.mdl"])
+    assert (expdir / "2.1.mdl").exists()
+
+    # warm start into a fresh run
+    exp2 = tmp_path / "exp2"
+    train.main(["--expdir", str(exp2)] + args[2:]
+               + ["--job", "1", "--init", str(merged), "--replace-output"])
+
+    # separate a synthetic recording with the trained checkpoint
+    rng = np.random.default_rng(0)
+    wav_dir = tmp_path / "recordings"
+    wav_dir.mkdir()
+    write_wav(wav_dir / "session0_rec.wav",
+              rng.standard_normal(16000 * 6).astype(np.float32) * 0.05)
+    cfg = {
+        "sampling_rate": 16000,
+        "separation": {"batch_size": 8, "eval_win": 2.4, "eval_hop": 0.8,
+                       "frame_length": 512, "frame_shift": 256},
+        "stitching": {"eval_win": 2.4, "eval_hop": 0.8, "hop_size": 256},
+        "beamforming": {"type": "SoudenMVDRBeamformer", "hop_size": 256,
+                        "n_fft": 512, "eval_hop": 0.8, "eval_win": 2.4,
+                        "proceed_margin": 2, "wta_thresh": 1e-4},
+    }
+    cfg_path = tmp_path / "config.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    out_dir = tmp_path / "separated"
+    separate.main([
+        "--config", str(cfg_path), "--checkpoint", str(merged),
+        "--model", "BLSTM", "--corpus-dir", str(wav_dir),
+        "--out-dir", str(out_dir)])
+    assert (out_dir / "session0_rec_0.wav").exists()
+    assert (out_dir / "session0_rec_1.wav").exists()
+
+    # session sharding filter excludes non-matching recordings
+    out2 = tmp_path / "separated2"
+    separate.main([
+        "--config", str(cfg_path), "--checkpoint", str(merged),
+        "--model", "BLSTM", "--corpus-dir", str(wav_dir),
+        "--out-dir", str(out2), "--session", "nomatch"])
+    assert not out2.exists() or not list(out2.iterdir())
+
+
+def test_replica_avg_strategy_cli(tmp_path):
+    from css_tpu.cli import train
+
+    expdir = tmp_path / "exp_ra"
+    train.main([
+        "--expdir", str(expdir), "--model", "BLSTM", "--synthetic-data",
+        "--batch-size", "8", "--batches-per-epoch", "2", "--num-epochs", "1",
+        "--strategy", "replica_avg", "--num-replicas", "4",
+        "--blstm-hdim", "16", "--blstm-num-layers", "1",
+        "--min-window-size", "2", "--max-window-size", "2"])
+    assert (expdir / "1.1.mdl").exists()
+
+
+def test_dp_strategy_cli(tmp_path):
+    from css_tpu.cli import train
+
+    expdir = tmp_path / "exp_dp"
+    train.main([
+        "--expdir", str(expdir), "--model", "BLSTM", "--synthetic-data",
+        "--batch-size", "8", "--batches-per-epoch", "2", "--num-epochs", "1",
+        "--strategy", "dp", "--blstm-hdim", "16", "--blstm-num-layers", "1",
+        "--min-window-size", "2", "--max-window-size", "2"])
+    assert (expdir / "1.1.mdl").exists()
