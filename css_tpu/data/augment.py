@@ -14,22 +14,33 @@ from typing import List, Optional
 import numpy as np
 from scipy.signal import fftconvolve
 
+from css_tpu import native
+
 
 class ReverbWithImpulseResponse:
     def __init__(self, rir_pool: List[np.ndarray], p: float = 0.5,
-                 normalize_output: bool = True):
+                 normalize_output: bool = True, use_native: bool = False):
+        # use_native defaults OFF here: scipy's SIMD pocketfft outperforms
+        # the scalar radix-2 in mixcore.cpp for the long-window convolutions
+        # (measured 42 vs 143 ms/batch); the native path remains available
+        # for GIL-free multi-thread producers.
         self.rir_pool = rir_pool
         self.p = p
         self.normalize_output = normalize_output
+        self.use_native = use_native and native.available()
 
     def __call__(self, wav: np.ndarray, rng: np.random.Generator) -> np.ndarray:
         if rng.uniform() >= self.p:
             return wav
-        rir = self.rir_pool[rng.integers(len(self.rir_pool))]
+        idx = int(rng.integers(len(self.rir_pool)))
+        rir = self.rir_pool[idx]
+        if self.use_native:
+            return native.fft_convolve_trunc(
+                wav, rir, normalize=self.normalize_output, rir_id=idx)
         out = fftconvolve(wav, rir)[: len(wav)].astype(np.float32)
         if self.normalize_output:
-            in_e = np.sqrt(np.mean(wav ** 2)) + 1e-8
-            out_e = np.sqrt(np.mean(out ** 2)) + 1e-8
+            in_e = np.sqrt(np.mean(wav ** 2) + 1e-16)
+            out_e = np.sqrt(np.mean(out ** 2) + 1e-16)
             out = out * (in_e / out_e)
         return out
 
@@ -38,24 +49,29 @@ class NoiseMix:
     """Additive noise at a random SNR (lhotse CutMix semantics)."""
 
     def __init__(self, noise_pool: List[np.ndarray], p: float = 0.5,
-                 min_snr: float = 5.0, max_snr: float = 20.0):
+                 min_snr: float = 5.0, max_snr: float = 20.0,
+                 use_native: bool = True):
         self.noise_pool = noise_pool
         self.p = p
         self.min_snr = min_snr
         self.max_snr = max_snr
+        self.use_native = use_native and native.available()
 
     def __call__(self, wav: np.ndarray, rng: np.random.Generator) -> np.ndarray:
         if rng.uniform() >= self.p:
             return wav
         noise = self.noise_pool[rng.integers(len(self.noise_pool))]
         n = len(wav)
+        start = (int(rng.integers(0, len(noise) - n + 1))
+                 if len(noise) >= n else 0)
+        snr = float(rng.uniform(self.min_snr, self.max_snr))
+        if self.use_native:
+            return native.add_noise_snr(wav, noise, start, snr)
         if len(noise) >= n:
-            start = rng.integers(0, len(noise) - n + 1)
             noise = noise[start : start + n]
         else:
             reps = -(-n // len(noise))
             noise = np.tile(noise, reps)[:n]
-        snr = rng.uniform(self.min_snr, self.max_snr)
         sig_p = np.mean(wav ** 2) + 1e-12
         noi_p = np.mean(noise ** 2) + 1e-12
         scale = np.sqrt(sig_p / (noi_p * 10.0 ** (snr / 10.0)))

@@ -27,6 +27,7 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
+from css_tpu import native
 from css_tpu.data.base import DATASETS
 from css_tpu.data.corpus import Corpus
 
@@ -74,9 +75,10 @@ class MixtureSynthesizer:
                  rir_pool=None, noise_pool=None,
                  min_snr: float = 5.0, max_snr: float = 20.0,
                  reverb_p: float = 0.5, noise_p: float = 0.5,
-                 seed: int = 0):
+                 seed: int = 0, use_native: bool = True):
         if len(corpus.speakers) < 2:
             raise ValueError("need at least 2 speakers")
+        self._use_native = use_native and native.available()
         self.corpus = corpus
         self.sr = corpus.sample_rate
         self.batch_size = batch_size
@@ -124,20 +126,32 @@ class MixtureSynthesizer:
             total_overlap += min(cut2.duration, cut1.duration - off_t)
             if mix_end_t < window_size:
                 continue
-            src1 = np.zeros(mix_len, np.float32)
-            src1[: len(w1)] = w1
-            src2 = np.zeros(mix_len, np.float32)
-            src2[off : off + len(w2)] = w2
-            mix = src1 + src2
             num_windows = int(mix_end_t / window_size)
+            if self._use_native:
+                mixw, s1w, s2w = native.mix_and_window(
+                    w1, w2, off, win, num_windows)
+            else:
+                src1 = np.zeros(mix_len, np.float32)
+                src1[: len(w1)] = w1
+                src2 = np.zeros(mix_len, np.float32)
+                src2[off : off + len(w2)] = w2
+                mix = src1 + src2
+                usable = num_windows * win
+                pad = max(0, usable - mix_len)
+                if pad:
+                    mix = np.pad(mix, (0, pad))
+                    src1 = np.pad(src1, (0, pad))
+                    src2 = np.pad(src2, (0, pad))
+                mixw = mix[:usable].reshape(num_windows, win)
+                s1w = src1[:usable].reshape(num_windows, win)
+                s2w = src2[:usable].reshape(num_windows, win)
             for k in range(num_windows):
-                st = k * win
-                m = mix[st : st + win]
+                m = mixw[k]
                 for tr in self.transforms:  # mixture only (separation.py:233)
                     m = tr(m, rng)
                 mixes.append(m)
-                s1s.append(src1[st : st + win])
-                s2s.append(src2[st : st + win])
+                s1s.append(s1w[k])
+                s2s.append(s2w[k])
                 if len(mixes) >= self.batch_size:
                     break
         return {
