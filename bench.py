@@ -44,10 +44,11 @@ def main():
     variables = jax.jit(lambda r, f: model.init({"params": r}, f,
                                                 train=False))(rng, feats0)
 
+    from css_tpu.ops.stft_pallas import stft_mag
+
     @jax.jit
     def forward(wav):
-        spec = stft_ops.stft(wav, 512, 256, center=False)
-        mag = jnp.abs(spec)
+        mag = stft_mag(wav, 512, 256)  # fused Pallas kernel on TPU
         _, masks = model.apply(variables, mag, train=False)
         return jnp.minimum(masks, 1.0)
 

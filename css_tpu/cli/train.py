@@ -76,6 +76,8 @@ def parse_arguments(argv=None):
     parser.add_argument("--keep-last", type=int, default=2)
     parser.add_argument("--multihost", action="store_true",
                         help="call jax.distributed.initialize()")
+    parser.add_argument("--profile-dir", default=None,
+                        help="capture a jax.profiler trace of epoch 1 here")
 
     # two-phase parsing: component flags (train.py:96-101)
     args, leftover = parser.parse_known_args(argv)
@@ -190,6 +192,10 @@ def main(argv=None):
 
     metrics_log = MetricsLogger(expdir / f"train.{args.job}.jsonl",
                                 echo_every=50)
+    profiling = False
+    if args.profile_dir:
+        jax.profiler.start_trace(args.profile_dir)
+        profiling = True
     for e in range(start_epoch, start_epoch + args.num_epochs):
         if args.strategy == "replica_avg":
             # independent replica epochs + averaging (train_parallel.sh:56-77)
@@ -223,6 +229,11 @@ def main(argv=None):
                      e + 1, avg_loss, val)
         else:
             log.info("Epoch %d :: train loss %.5f", e + 1, avg_loss)
+
+        if profiling:  # capture exactly one epoch
+            jax.profiler.stop_trace()
+            profiling = False
+            log.info("Profiler trace written to %s", args.profile_dir)
 
         if not np.isnan(avg_loss):  # NaN epochs not checkpointed (train.py:313)
             save_state = (strategy.replica_state(state)

@@ -119,22 +119,39 @@ class SyntheticCorpus(Corpus):
         rng = np.random.default_rng(seed)
         utts = []
         for s in range(num_speakers):
-            f0 = 90.0 + 25.0 * s + rng.uniform(-5, 5)
+            base_f0 = 90.0 + 25.0 * s + rng.uniform(-5, 5)
             for u in range(utts_per_speaker):
                 dur = float(rng.uniform(min_dur, max_dur))
                 n = int(dur * sample_rate)
-                t = np.arange(n) / sample_rate
+                # Speech-like time-frequency SPARSITY matters: steady tones
+                # collide in single STFT bins and defeat mask-based
+                # separation regardless of model quality (phase pathology),
+                # so utterances are sequences of short "syllables" with a
+                # hopping pitch and hopping formant-like harmonic weights.
                 sig = np.zeros(n, np.float32)
-                for h in range(1, 6):
-                    am = 0.5 + 0.5 * np.sin(
-                        2 * np.pi * rng.uniform(1.5, 4.0) * t + rng.uniform(0, 6))
-                    sig += (am * np.sin(2 * np.pi * f0 * h * t
-                                        + rng.uniform(0, 6))).astype(np.float32) / h
-                # breath noise, lowpass by cumsum smoothing
+                pos = 0
+                while pos < n:
+                    seg_len = int(rng.uniform(0.15, 0.35) * sample_rate)
+                    seg_len = min(seg_len, n - pos)
+                    t = np.arange(seg_len) / sample_rate
+                    f0 = base_f0 * 2.0 ** rng.uniform(-0.3, 0.3)
+                    seg = np.zeros(seg_len, np.float64)
+                    weights = rng.uniform(0.2, 1.0, 8) / np.arange(1, 9)
+                    for h in range(1, 9):
+                        if f0 * h < sample_rate / 2 - 200:
+                            seg += weights[h - 1] * np.sin(
+                                2 * np.pi * f0 * h * t + rng.uniform(0, 6))
+                    # syllable envelope (attack/decay)
+                    env = np.hanning(seg_len) ** 0.5
+                    # occasional silence gap
+                    if rng.uniform() < 0.2:
+                        seg *= 0.05
+                    sig[pos : pos + seg_len] = (seg * env).astype(np.float32)
+                    pos += seg_len
                 noise = rng.standard_normal(n).astype(np.float32)
                 kernel = np.ones(8, np.float32) / 8
                 noise = np.convolve(noise, kernel, mode="same")
-                sig = 0.1 * sig + 0.01 * noise
+                sig = 0.1 * sig + 0.005 * noise
                 utts.append(Utterance(
                     utt_id=f"spk{s}_utt{u}", speaker=f"spk{s}",
                     duration=dur, array=sig, sample_rate=sample_rate))

@@ -59,12 +59,23 @@ class Beamformer:
         self._process = jax.jit(self._process_impl)
 
     # ------------------------------------------------------------------ core
+    def _align_mask(self, mask, t_spec):
+        """Masks were estimated on UNCENTERED frames (conv-STFT,
+        separator path); the beamformer STFT is CENTERED, so uncentered
+        frame t (centered at sample t*hop + frame/2) corresponds to
+        centered frame t+1. Shift by one and edge-replicate to cover all
+        centered frames."""
+        t_mask = mask.shape[1]
+        parts = [mask[:, :1], mask]
+        if t_spec > t_mask + 1:
+            parts.append(jnp.repeat(mask[:, -1:], t_spec - t_mask - 1, axis=1))
+        return jnp.concatenate(parts, axis=1)[:, :t_spec]
+
     def _beamform_windows(self, spec, speech_mask, noise_mask):
-        """spec (B, D, T', F) complex; masks (B, T, F) -> (B, T, F)."""
-        t = min(spec.shape[2], speech_mask.shape[1])
-        spec = spec[:, :, :t]
-        speech_mask = speech_mask[:, :t]
-        noise_mask = noise_mask[:, :t]
+        """spec (B, D, T', F) complex; masks (B, T, F) -> (B, T', F)."""
+        t = spec.shape[2]
+        speech_mask = self._align_mask(speech_mask, t)
+        noise_mask = self._align_mask(noise_mask, t)
         if self.bf_type == "masking":
             out = speech_mask * spec[:, 0]
         elif self.bf_type == "souden_mvdr":

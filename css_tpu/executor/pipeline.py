@@ -64,10 +64,22 @@ class CssPipeline:
 
     def process(self, wav: np.ndarray):
         """wav (T,) or (C, T) -> (wav0, wav1) separated streams."""
+        wav = np.asarray(wav, np.float32)
+        total = wav.shape[-1]
+        # pad so sliding windows cover the WHOLE recording (bare unfold
+        # drops the ragged tail — up to eval_win seconds of audio,
+        # separator.py:67 has the same truncation)
+        win, hop = self.separator.win, self.separator.hop
+        n_win = max(1, -(-(total - win) // hop) + 1)
+        needed = (n_win - 1) * hop + win
+        if needed > total:
+            pad = [(0, 0)] * (wav.ndim - 1) + [(0, needed - total)]
+            wav = np.pad(wav, pad)
         masks, mags = self.separator.separate(wav)
         stitched = self.stitcher(masks, mags)
         stitched = [np.asarray(m) for m in stitched]
-        return self.beamformer.continuous_process(wav, stitched)
+        out0, out1 = self.beamformer.continuous_process(wav, stitched)
+        return out0[:total], out1[:total]
 
     def process_recording(self, key: str, wav: np.ndarray, out_dir: str):
         """Separate one recording and write {key}_0.wav / {key}_1.wav

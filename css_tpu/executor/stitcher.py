@@ -57,9 +57,11 @@ class Stitcher:
         sim1 = -(d[:, 0, 1] + d[:, 1, 0])
         return sim0 < sim1  # flip when the swapped pairing matches better
 
-    def get_connect(self, flips, masks):
+    def get_connect(self, flips, masks, valid=None):
         """Flip-state scan + WTA + overlap-average (stitcher.py:54-110).
 
+        ``valid`` (B,) optionally marks real windows: padded windows (from
+        sharded batching) contribute neither mask mass nor coverage count.
         Returns (res1, res2, noise), each (T_total, F) time-major.
         """
         # prefix XOR: state_n = parity of flips before window n
@@ -74,11 +76,15 @@ class Stitcher:
         m = jnp.stack([res1, res2, noise], axis=-1)
         m_max = jnp.max(m, axis=-1, keepdims=True)
         m = jnp.where(m == m_max, m, jnp.asarray(self.wta_floor, m.dtype))
+        if valid is not None:
+            m = m * valid[:, None, None, None].astype(m.dtype)
         # overlap-average over windows with hop_frames (stitcher.py:85-110)
         # (B, T, F, 3) -> (F, 3, B, T) frames for overlap_add over T
         frames = jnp.transpose(m, (2, 3, 0, 1))
         summed = overlap_add(frames, self.hop_frames)  # (F, 3, T_total)
         ones = jnp.ones(m.shape[:2], m.dtype)  # (B, T)
+        if valid is not None:
+            ones = ones * valid[:, None].astype(m.dtype)
         count = overlap_add(ones, self.hop_frames)  # (T_total,)
         count = jnp.maximum(count, 1.0)
         avg = summed / count  # (F, 3, T_total)

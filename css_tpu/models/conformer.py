@@ -291,7 +291,8 @@ class Conformer(nn.Module):
         b, t, _ = masks.shape
         masks = masks.reshape(b, t, n_src, self.num_bins)
         masks = jnp.transpose(masks, (0, 1, 3, 2))  # (B, T, F, S)
-        y_pred = jnp.einsum("btfs,btf->bstf", masks[..., : self.num_spk], f_orig)
+        y_pred = jnp.einsum("btfs,btf->bstf", masks[..., : self.num_spk],
+                            f_orig[..., : self.num_bins])
         return y_pred, masks
 
 

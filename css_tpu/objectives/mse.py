@@ -14,13 +14,26 @@ from css_tpu.ops.pit import batch_pit_loss, mse_pairwise
 
 @OBJECTIVES.register("MSE")
 class MeanSquaredError:
+    """PIT-MSE on masked spectrograms, with optional noise-mask supervision.
+
+    The reference's MSE never constrains the third (noise) mask — only
+    masks[:num_spk] enter y_pred (conformer.py:103) — so an in-framework-
+    trained model emits an arbitrary noise mask that can dominate the
+    stitcher's winner-take-all (stitcher.py:77-83). ``noise_weight`` adds
+    mean((noise_mask*mag - relu(mag_mix - mag_s1 - mag_s2))^2), teaching
+    the noise mask to capture the non-speech residual.
+    """
+
+    def __init__(self, noise_weight: float = 0.0):
+        self.noise_weight = noise_weight
+
     @staticmethod
     def add_args(parser):
-        pass
+        parser.add_argument("--mse-noise-weight", type=float, default=0.3)
 
     @classmethod
     def build_objective(cls, conf):
-        return cls()
+        return cls(noise_weight=float(conf.get("mse_noise_weight", 0.3)))
 
     @classmethod
     def add_state_dict(cls, s1, s2, fraction, iteration=None):
@@ -33,8 +46,22 @@ class MeanSquaredError:
     def load_state_dict(self, state):
         pass
 
-    def __call__(self, y_pred, batch):
-        """y_pred: (B, K, T, F); batch has source1/source2 (B, T, F)."""
+    def __call__(self, outputs, batch):
+        """outputs: y_pred (B, K, T, F) or (y_pred, masks (B, T, F, S));
+        batch has input/source1/source2 magnitudes (B, T, F)."""
+        if isinstance(outputs, tuple):
+            y_pred, masks = outputs[0], outputs[1]
+        else:
+            y_pred, masks = outputs, None
         y_true = jnp.stack([batch["source1"], batch["source2"]], axis=1)
         loss, perms = batch_pit_loss(y_pred, y_true, loss_fn=mse_pairwise)
-        return loss, {"perms": perms}
+        aux = {"perms": perms}
+        if self.noise_weight and masks is not None and "input" in batch:
+            mag = batch["input"]
+            residual = jnp.maximum(
+                mag - batch["source1"] - batch["source2"], 0.0)
+            noise_pred = masks[..., -1] * mag
+            noise_loss = jnp.mean(jnp.square(noise_pred - residual))
+            aux["noise_loss"] = noise_loss
+            loss = loss + self.noise_weight * noise_loss
+        return loss, aux

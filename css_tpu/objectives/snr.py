@@ -52,8 +52,10 @@ class SiSnrObjective:
     def load_state_dict(self, state):
         pass
 
-    def __call__(self, y_pred, batch):
-        """y_pred: (B, K, N) waveforms; sources (B, N) in the batch."""
+    def __call__(self, outputs, batch):
+        """outputs: (B, K, N) waveforms (or (y_pred, ...) tuple);
+        sources (B, N) in the batch."""
+        y_pred = outputs[0] if isinstance(outputs, tuple) else outputs
         n = min(y_pred.shape[-1], batch["source1"].shape[-1])
         y_true = jnp.stack(
             [batch["source1"][..., :n], batch["source2"][..., :n]], axis=1)

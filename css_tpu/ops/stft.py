@@ -198,14 +198,25 @@ def istft(
     # window-envelope normalization
     env_frames = jnp.broadcast_to(w * w, (num_frames, frame_len))
     env = overlap_add(env_frames, hop)
-    sig = sig / jnp.maximum(env, 1e-11)
+    # guard partial-coverage edges: where the squared-window envelope is
+    # near zero, reconstruction is undefined — output silence rather than
+    # dividing masked-spectrum noise by ~0 (the reference relies on
+    # torch.istft trimming these regions away)
+    sig = jnp.where(env >= 1e-2, sig / jnp.maximum(env, 1e-2), 0.0)
     if center:
+        # torch.istft semantics: trim the pad from BOTH sides first (the
+        # tail beyond it has partial window coverage and a vanishing
+        # envelope — keeping it produces huge division spikes on
+        # OLA-inconsistent, e.g. masked, spectra), then zero-pad/truncate
+        # to the requested length.
         pad = n_fft // 2
-        sig = sig[..., pad:]
+        sig = sig[..., pad : sig.shape[-1] - pad]
         if length is not None:
-            sig = sig[..., :length]
-        else:
-            sig = sig[..., : sig.shape[-1] - pad]
+            if length > sig.shape[-1]:
+                sig = jnp.pad(sig, [(0, 0)] * (sig.ndim - 1)
+                              + [(0, length - sig.shape[-1])])
+            else:
+                sig = sig[..., :length]
     elif length is not None:
         sig = sig[..., :length]
     return sig

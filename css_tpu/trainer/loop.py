@@ -111,16 +111,14 @@ class Trainer:
         if self.input_domain == "time":
             return {"input": batch["mix"], "source1": batch["source1"],
                     "source2": batch["source2"]}
-        mix_mag = jnp.abs(self.features_stft(batch["mix"]))
-        s1_mag = jnp.abs(self.features_stft(batch["source1"]))
-        s2_mag = jnp.abs(self.features_stft(batch["source2"]))
-        return {"input": mix_mag, "source1": s1_mag, "source2": s2_mag}
+        # fused Pallas STFT-magnitude on TPU, XLA elsewhere; magnitudes are
+        # loss inputs/targets only, so no VJP is needed through the STFT
+        from css_tpu.ops.stft_pallas import stft_mag
 
-    def features_stft(self, x):
-        from css_tpu.ops import stft as stft_ops
-
-        return stft_ops.stft(x, self.features.frame_len, self.features.frame_hop,
-                             center=False)
+        fl, fh = self.features.frame_len, self.features.frame_hop
+        return {"input": stft_mag(batch["mix"], fl, fh),
+                "source1": stft_mag(batch["source1"], fl, fh),
+                "source2": stft_mag(batch["source2"], fl, fh)}
 
     # ----------------------------------------------------------------- step
     def _loss_fn(self, params, batch_stats, feats, rng, train: bool):
@@ -135,8 +133,7 @@ class Trainer:
         if train and batch_stats:
             out, updates = out
             new_stats = updates.get("batch_stats", batch_stats)
-        y_pred = out[0] if isinstance(out, tuple) else out
-        loss, aux = self.objective(y_pred, feats)
+        loss, aux = self.objective(out, feats)
         return loss, (aux, new_stats)
 
     def _train_step_impl(self, state: TrainState, batch, rng):
