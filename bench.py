@@ -27,6 +27,13 @@ BASELINE_AUDIO_SEC_PER_S = 11.8  # reference torch-CPU forward (BASELINE.md)
 
 def main():
     import jax
+
+    # persistent compilation cache: the first bench run on a fresh machine
+    # pays minutes of remote TPU compile; later runs hit this cache
+    jax.config.update("jax_compilation_cache_dir", "/tmp/css_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     import jax.numpy as jnp
 
     from css_tpu.models.conformer import Conformer
@@ -40,32 +47,46 @@ def main():
     model = Conformer(compute_dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
     frames = (win_samples - 512) // 256 + 1
-    feats0 = jnp.zeros((batch, frames, 257), jnp.float32)
-    variables = jax.jit(lambda r, f: model.init({"params": r}, f,
-                                                train=False))(rng, feats0)
+    # init on the (local, fast-compiling) CPU backend, then ship to TPU
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        feats0 = jnp.zeros((batch, frames, 257), jnp.float32)
+        variables = jax.jit(
+            lambda r, f: model.init({"params": r}, f, train=False),
+        )(jax.device_put(rng, cpu), feats0)
+    variables = jax.device_put(variables, jax.devices()[0])
 
     from css_tpu.ops.stft_pallas import stft_mag
 
-    @jax.jit
     def forward(wav):
         mag = stft_mag(wav, 512, 256)  # fused Pallas kernel on TPU
         _, masks = model.apply(variables, mag, train=False)
         return jnp.minimum(masks, 1.0)
 
-    wav = jnp.asarray(
+    # run CHUNKS window-batches inside ONE program (lax.map) so host->device
+    # dispatch latency (large on tunneled backends) doesn't pollute the
+    # measurement — this is also how a production server batches
+    chunks = 8
+
+    @jax.jit
+    def forward_many(wavs):
+        return jax.lax.map(forward, wavs)
+
+    wavs = jnp.asarray(
         np.random.default_rng(0).standard_normal(
-            (batch, win_samples)).astype(np.float32) * 0.1)
+            (chunks, batch, win_samples)).astype(np.float32) * 0.1)
 
     # warmup (compile)
-    forward(wav).block_until_ready()
-    forward(wav).block_until_ready()
+    forward_many(wavs).block_until_ready()
+    forward_many(wavs).block_until_ready()
 
-    iters = 20
+    iters = 4
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = forward(wav)
+        out = forward_many(wavs)
     out.block_until_ready()
     dt = time.perf_counter() - t0
+    iters = iters * chunks
 
     n_chips = max(jax.local_device_count(), 1)
     audio_sec = batch * iters * eval_hop

@@ -49,6 +49,9 @@ def iter_recordings(args):
 
 
 def main(argv=None):
+    from css_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", required=True,
                         help="pipeline YAML (conf/config_1ch.yaml schema)")

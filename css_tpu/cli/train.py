@@ -72,6 +72,10 @@ def parse_arguments(argv=None):
                         help="tensor-parallel degree (dp strategy)")
     parser.add_argument("--num-replicas", type=int, default=None,
                         help="replica_avg strategy replica count")
+    parser.add_argument("--nj-init", type=int, default=None,
+                        help="replica_avg: ramp active replicas from "
+                             "nj_init to num-replicas over the run "
+                             "(train_parallel.sh:57 semantics)")
     parser.add_argument("--keep-every", type=int, default=20)
     parser.add_argument("--keep-last", type=int, default=2)
     parser.add_argument("--multihost", action="store_true",
@@ -104,6 +108,9 @@ def build_corpus(args):
 
 
 def main(argv=None):
+    from css_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     args = parse_arguments(argv)
     expdir = Path(args.expdir)
     expdir.mkdir(parents=True, exist_ok=True)
@@ -198,7 +205,18 @@ def main(argv=None):
         profiling = True
     for e in range(start_epoch, start_epoch + args.num_epochs):
         if args.strategy == "replica_avg":
-            # independent replica epochs + averaging (train_parallel.sh:56-77)
+            # independent replica epochs + averaging (train_parallel.sh:56-77),
+            # optionally ramping the number of ACTIVE replicas like the
+            # reference ramps SGE job counts (train_parallel.sh:57)
+            nj = strategy.num_replicas
+            if args.nj_init:
+                frac = (e - start_epoch + 1) / max(args.num_epochs, 1)
+                nj = min(strategy.num_replicas, max(
+                    args.nj_init,
+                    int(args.nj_init
+                        + frac * (strategy.num_replicas - args.nj_init))))
+            alive = np.zeros(strategy.num_replicas, bool)
+            alive[:nj] = True
             it = iter(dataset)
             total = 0.0
             for i in range(args.batches_per_epoch):
@@ -206,8 +224,8 @@ def main(argv=None):
                 batch.pop("ovl", None); batch.pop("lens", None)
                 rng, step_rng = jax.random.split(rng)
                 state, m = strategy.train_step(state, batch, step_rng)
-                total += float(np.mean(np.asarray(m["loss"])))
-            state = strategy.average(state)
+                total += float(np.mean(np.asarray(m["loss"])[:nj]))
+            state = strategy.average(state, alive=alive)
             avg_loss = total / args.batches_per_epoch
         elif args.strategy == "dp":
             it = iter(dataset)
@@ -223,8 +241,10 @@ def main(argv=None):
             state, avg_loss = trainer.train_one_epoch(
                 state, dataset, args.batches_per_epoch, rng, metrics_log)
 
-        if dev_dataset is not None and args.strategy == "single":
-            val = trainer.validate(state, dev_dataset, num_batches=10)
+        if dev_dataset is not None:
+            val_state = (strategy.replica_state(state)
+                         if args.strategy == "replica_avg" else state)
+            val = trainer.validate(val_state, dev_dataset, num_batches=10)
             log.info("Epoch %d :: train loss %.5f valid loss %.5f",
                      e + 1, avg_loss, val)
         else:

@@ -31,6 +31,8 @@ class Separator:
         self,
         model,
         variables,
+        *,
+        exported_path: Optional[str] = None,
         sr: int = 16000,
         eval_win: float = 2.4,
         eval_hop: float = 0.8,
@@ -44,6 +46,14 @@ class Separator:
     ):
         self.model = model
         self.variables = variables
+        self._exported_call = None
+        if exported_path is not None:
+            # serve a StableHLO artifact (cli.export) instead of a live
+            # model — the TPU-native analogue of the reference's ONNX
+            # deployment (separator.py:26-29)
+            from css_tpu.cli.export import load_exported
+
+            self._exported_call = load_exported(exported_path)
         self.sr = sr
         # +extra samples so the mask frame count matches the beamformer's
         # mask windows (separator.py:67 unfolds eval_win*sr + 256)
@@ -64,9 +74,12 @@ class Separator:
     def _forward_impl(self, wav_batch):
         """wav_batch: (B, T) or (B, C, T) -> (masks (B,T',F,S), mag (B,T',F))."""
         mag, f, spec = self.features(wav_batch)
-        out = self.model.apply(self.variables, f, train=False)
-        masks = out[1] if isinstance(out, tuple) else out
-        masks = jnp.minimum(masks, 1.0)  # clamp at 1.0 (separator.py:104)
+        if self._exported_call is not None:
+            masks = self._exported_call(f)  # already clamped at export
+        else:
+            out = self.model.apply(self.variables, f, train=False)
+            masks = out[1] if isinstance(out, tuple) else out
+            masks = jnp.minimum(masks, 1.0)  # clamp at 1.0 (separator.py:104)
         if self.merge:
             merged = self.steering.angle_merge(
                 spec, masks[..., :2], thresh=self.merge_threshold)
