@@ -82,6 +82,11 @@ def parse_arguments(argv=None):
                         help="call jax.distributed.initialize()")
     parser.add_argument("--profile-dir", default=None,
                         help="capture a jax.profiler trace of epoch 1 here")
+    parser.add_argument("--num-workers", type=int, default=2,
+                        help="producer threads for mixture synthesis")
+    parser.add_argument("--debug-nans", action="store_true",
+                        help="enable jax_debug_nans (fail fast at the op "
+                             "that produced a non-finite value)")
 
     # two-phase parsing: component flags (train.py:96-101)
     args, leftover = parser.parse_known_args(argv)
@@ -117,6 +122,8 @@ def main(argv=None):
 
     if args.multihost:
         jax.distributed.initialize()
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     np.random.seed(args.seed)
 
@@ -133,7 +140,15 @@ def main(argv=None):
     if args.synthetic_rirs:
         conf["rir_pool"] = synthetic_rir_pool()
         conf["noise_pool"] = synthetic_noise_pool()
-    dataset = build_dataset(args.dataset, corpus, conf)
+    if args.num_workers > 1:
+        from css_tpu.data import PrefetchLoader
+
+        dataset = PrefetchLoader(
+            factory=lambda i: build_dataset(
+                args.dataset, corpus, {**conf, "seed": conf["seed"] + 7 * i}),
+            num_threads=args.num_workers)
+    else:
+        dataset = build_dataset(args.dataset, corpus, conf)
     dev_dataset = (build_dataset(args.dataset, dev_corpus,
                                  {**conf, "seed": 12345})
                    if dev_corpus else None)
