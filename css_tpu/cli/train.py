@@ -82,8 +82,13 @@ def parse_arguments(argv=None):
                         help="call jax.distributed.initialize()")
     parser.add_argument("--profile-dir", default=None,
                         help="capture a jax.profiler trace of epoch 1 here")
+    parser.add_argument("--validate-batches", type=int, default=100,
+                        help="validation batches per epoch (iteration_types.py:71 uses 100)")
     parser.add_argument("--num-workers", type=int, default=2,
                         help="producer threads for mixture synthesis")
+    parser.add_argument("--prng-impl", default="rbg",
+                        choices=["rbg", "threefry2x32"],
+                        help="dropout PRNG; rbg is much faster on TPU")
     parser.add_argument("--debug-nans", action="store_true",
                         help="enable jax_debug_nans (fail fast at the op "
                              "that produced a non-finite value)")
@@ -163,7 +168,9 @@ def main(argv=None):
                       grad_thresh=args.grad_thresh,
                       input_domain=input_domain)
 
-    rng = jax.random.PRNGKey(args.seed)
+    from css_tpu.trainer.loop import training_rng
+
+    rng = training_rng(args.seed, args.prng_impl)
     example = next(dataset)
 
     strategy = None
@@ -259,7 +266,8 @@ def main(argv=None):
         if dev_dataset is not None:
             val_state = (strategy.replica_state(state)
                          if args.strategy == "replica_avg" else state)
-            val = trainer.validate(val_state, dev_dataset, num_batches=10)
+            val = trainer.validate(val_state, dev_dataset,
+                                   num_batches=args.validate_batches)
             log.info("Epoch %d :: train loss %.5f valid loss %.5f",
                      e + 1, avg_loss, val)
         else:

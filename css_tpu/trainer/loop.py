@@ -33,6 +33,17 @@ class TrainState(flax.struct.PyTreeNode):
     opt_state: Any
 
 
+def training_rng(seed: int, impl: str = "rbg"):
+    """Root PRNG key for training.
+
+    Defaults to the 'rbg' generator: dropout random bits with the default
+    threefry cost ~28% of a Conformer-large train step on v5e (measured
+    43 -> 31 ms); rbg generates on-chip at a fraction of that. Pass
+    impl='threefry2x32' for bit-exact reproducibility across backends.
+    """
+    return jax.random.key(seed, impl=impl)
+
+
 def make_optimizer(name: str, schedule: LRSchedule, weight_decay: float = 0.0,
                    grad_thresh: float = 30.0) -> optax.GradientTransformation:
     """sgd | adam with clip-by-global-norm and the 3-phase schedule.

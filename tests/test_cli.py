@@ -20,6 +20,7 @@ def test_train_cli_and_separate_cli(tmp_path):
         "--num-epochs", "1", "--optim", "adam", "--lr", "1e-3",
         "--warmup", "2", "--blstm-hdim", "16", "--blstm-num-layers", "1",
         "--min-window-size", "2", "--max-window-size", "2",
+        "--validate-batches", "2",
     ]
     train.main(args + ["--job", "1", "--seed", "0"])
     train.main(args + ["--job", "2", "--seed", "1"])
@@ -91,7 +92,8 @@ def test_replica_avg_strategy_cli(tmp_path):
         "--batch-size", "8", "--batches-per-epoch", "2", "--num-epochs", "1",
         "--strategy", "replica_avg", "--num-replicas", "4",
         "--blstm-hdim", "16", "--blstm-num-layers", "1",
-        "--min-window-size", "2", "--max-window-size", "2"])
+        "--min-window-size", "2", "--max-window-size", "2",
+        "--validate-batches", "2"])
     assert (expdir / "1.1.mdl").exists()
 
 
@@ -103,5 +105,6 @@ def test_dp_strategy_cli(tmp_path):
         "--expdir", str(expdir), "--model", "BLSTM", "--synthetic-data",
         "--batch-size", "8", "--batches-per-epoch", "2", "--num-epochs", "1",
         "--strategy", "dp", "--blstm-hdim", "16", "--blstm-num-layers", "1",
-        "--min-window-size", "2", "--max-window-size", "2"])
+        "--min-window-size", "2", "--max-window-size", "2",
+        "--validate-batches", "2"])
     assert (expdir / "1.1.mdl").exists()
