@@ -45,7 +45,10 @@ class Separator:
         extra_samples: int = 256,
     ):
         self.model = model
-        self.variables = variables
+        # checkpoints hold numpy leaves; jitted code needs jax arrays
+        # (numpy params break traced indexing, e.g. the rel-pos gather)
+        self.variables = (jax.tree.map(jnp.asarray, variables)
+                          if variables is not None else None)
         self._exported_call = None
         if exported_path is not None:
             # serve a StableHLO artifact (cli.export) instead of a live

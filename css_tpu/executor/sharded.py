@@ -36,7 +36,7 @@ class ShardedSeparation:
                  ipd_index: Optional[str] = None,
                  wta_floor: float = 1e-4, extra_samples: int = 256):
         self.model = model
-        self.variables = variables
+        self.variables = jax.tree.map(jnp.asarray, variables)
         self.mesh = mesh
         self.sr = sr
         self.win = int(eval_win * sr) + extra_samples

@@ -209,7 +209,7 @@ class ConformerEncoder(nn.Module):
             pos = np.arange(t)
             rel = pos[:, None] - pos[None, :]
             rel = np.clip(rel, -self.maxlen, self.maxlen - 1) + self.maxlen
-            pos_k = pe_k[jnp.asarray(rel)]  # (T, T, d_k)
+            pos_k = jnp.asarray(pe_k)[jnp.asarray(rel)]  # (T, T, d_k)
 
         for i in range(self.num_blocks):
             xs = EncoderLayer(
