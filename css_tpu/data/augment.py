@@ -9,7 +9,7 @@ only (targets stay clean, separation.py:233-236).
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 from scipy.signal import fftconvolve

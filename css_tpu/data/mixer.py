@@ -23,7 +23,7 @@ TPU-first deltas:
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 

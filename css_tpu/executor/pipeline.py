@@ -9,7 +9,7 @@ reference (conf/config_1ch.yaml / config_7ch.yaml).
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

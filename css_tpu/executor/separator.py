@@ -14,8 +14,6 @@ TPU-native counterpart of css/executor/separator.py:9-111. Differences:
 
 from __future__ import annotations
 
-import functools
-import math
 from typing import Optional
 
 import jax

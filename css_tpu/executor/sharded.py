@@ -15,7 +15,7 @@ The whole forward+stitch is ONE jit program; masks come back stitched.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

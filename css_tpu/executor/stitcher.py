@@ -19,8 +19,6 @@ Hardcoded to 2 speakers + 1 noise stream like the reference
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

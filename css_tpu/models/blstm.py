@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from css_tpu.models.base import EPSILON, MODELS, add_common_mask_args
+from css_tpu.models.base import MODELS, add_common_mask_args
 from css_tpu.ops.features import mvn
 
 DEFAULT_BLSTM_CONF = {"hidden_dim": 512, "num_layers": 4, "dropout_rate": 0.1}

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from css_tpu.models.base import EPSILON, MODELS, add_common_mask_args
+from css_tpu.models.base import MODELS, add_common_mask_args
 from css_tpu.ops.features import mvn
 
 DEFAULT_CONFORMER_CONF = {

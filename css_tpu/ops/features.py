@@ -10,7 +10,7 @@ Canonical layout is time-major (..., T, F).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,6 @@ conf/config_1ch.yaml:9-10). Falls back to the XLA path otherwise.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

@@ -31,8 +31,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from css_tpu.parallel.mesh import (batch_sharding, conformer_tp_spec,
-                                   make_mesh, replicate, shard_params)
+from css_tpu.parallel.mesh import (batch_sharding, make_mesh, replicate,
+                                   shard_params)
 from css_tpu.trainer.loop import TrainState, Trainer
 
 

@@ -9,9 +9,7 @@ from __future__ import annotations
 
 import json
 import logging
-import sys
 import time
-from pathlib import Path
 from typing import Optional
 
 logging.basicConfig(
