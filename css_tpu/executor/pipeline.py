@@ -28,6 +28,25 @@ class CssPipeline:
         sti = config.get("stitching", {})
         bf = config.get("beamforming", {})
         self.sr = int(config.get("sampling_rate", sr))
+        # sharded: true -> run forward+stitch for ALL windows as one jit
+        # program over the local device mesh (css_tpu.executor.sharded);
+        # windows of one recording are split across chips
+        self.sharded = None
+        if sep.get("sharded") and model is not None:
+            import jax
+
+            from css_tpu.executor.sharded import ShardedSeparation
+            from css_tpu.parallel import make_mesh
+
+            self.sharded = ShardedSeparation(
+                model, variables, make_mesh(), sr=self.sr,
+                eval_win=float(sep.get("eval_win", 2.4)),
+                eval_hop=float(sep.get("eval_hop", 0.8)),
+                frame_len=int(sep.get("frame_length", 512)),
+                frame_hop=int(sep.get("frame_shift", 256)),
+                ipd_index=sep.get("ipd"),
+                wta_floor=float(bf.get("wta_thresh", 1e-4)),
+            )
         self.separator = Separator(
             model, variables, sr=self.sr,
             eval_win=float(sep.get("eval_win", 2.4)),
@@ -75,9 +94,12 @@ class CssPipeline:
         if needed > total:
             pad = [(0, 0)] * (wav.ndim - 1) + [(0, needed - total)]
             wav = np.pad(wav, pad)
-        masks, mags = self.separator.separate(wav)
-        stitched = self.stitcher(masks, mags)
-        stitched = [np.asarray(m) for m in stitched]
+        if self.sharded is not None:
+            stitched, masks, mags = self.sharded.separate(wav)
+            stitched = [np.asarray(m) for m in stitched]
+        else:
+            masks, mags = self.separator.separate(wav)
+            stitched = [np.asarray(m) for m in self.stitcher(masks, mags)]
         out0, out1 = self.beamformer.continuous_process(wav, stitched)
         return out0[:total], out1[:total]
 
