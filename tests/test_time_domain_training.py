@@ -1,0 +1,55 @@
+"""Time-domain path end-to-end: ConvTasNet + SI-SNR objective (fills the
+reference's declared-but-unimplemented 'SNR' slot, train.py:66)."""
+
+import numpy as np
+
+import jax
+
+from css_tpu.data import SyntheticCorpus
+from css_tpu.data.mixer import MixtureSynthesizer
+from css_tpu.models.conv_tasnet import ConvTasNet
+from css_tpu.objectives.snr import SiSnrObjective
+from css_tpu.trainer import LRSchedule, Trainer
+
+
+def test_conv_tasnet_si_snr_training_improves():
+    corpus = SyntheticCorpus(num_speakers=4, utts_per_speaker=2,
+                             min_dur=2.5, max_dur=4.0)
+    loader = MixtureSynthesizer(corpus, batch_size=4, min_window=1.0,
+                                max_window=1.0, bucket_step=1.0, seed=0)
+    model = ConvTasNet(num_filters=32, filter_length=16,
+                       bottleneck_channels=16, conv_channels=24,
+                       kernel_size=3, num_blocks=3, num_layers=1)
+    trainer = Trainer(model, SiSnrObjective(), LRSchedule(lr=1e-3),
+                      optim="adam", grad_thresh=5.0, input_domain="time")
+    rng = jax.random.PRNGKey(0)
+    state = trainer.init_state(rng, next(loader))
+    losses = []
+    it = iter(loader)
+    for _ in range(12):
+        batch = next(it)
+        batch.pop("ovl", None); batch.pop("lens", None)
+        rng, k = jax.random.split(rng)
+        state, m = trainer._train_step(state, batch, k)
+        losses.append(float(m["loss"]))
+        assert np.isfinite(losses[-1])
+        assert "si_snr" in m
+    # negative SI-SNR loss should decrease (SI-SNR of estimates improves)
+    assert np.mean(losses[-4:]) < np.mean(losses[:4])
+
+
+def test_train_cli_conv_tasnet_snr(tmp_path):
+    from css_tpu.cli import train
+
+    expdir = tmp_path / "exp_tasnet"
+    train.main([
+        "--expdir", str(expdir), "--model", "ConvTasNet", "--objective",
+        "SNR", "--synthetic-data", "--batch-size", "4",
+        "--batches-per-epoch", "2", "--num-epochs", "1",
+        "--conv-tasnet-num-filters", "16",
+        "--conv-tasnet-bottleneck-channels", "8",
+        "--conv-tasnet-conv-channels", "16", "--conv-tasnet-num-blocks", "2",
+        "--conv-tasnet-num-layers", "1",
+        "--min-window-size", "1", "--max-window-size", "1",
+        "--validate-batches", "1", "--num-workers", "1"])
+    assert (expdir / "1.1.mdl").exists()
