@@ -96,12 +96,37 @@ class Beamformer:
 
     def _process_impl(self, wav_windows, m1, m2, mn):
         """wav_windows (B, D, N); masks (B, T, F) -> two (B, N) wavs."""
+        if self.bf_type == "masking":
+            # uncentered analysis: frame t covers [t*hop, t*hop+frame) —
+            # EXACTLY the convention the masks were estimated under
+            # (separator conv-STFT), so no cross-convention alignment;
+            # frame count (N-frame)/hop+1 matches the mask windows and the
+            # synthesis length (T+1)*hop == N
+            spec = stft_ops.stft(wav_windows, self.n_fft, self.hop_length,
+                                 center=False)  # (B, D, T, F)
+            t = min(spec.shape[2], m1.shape[1])
+            out0 = m1[:, :t] * spec[:, 0, :t]
+            out1 = m2[:, :t] * spec[:, 0, :t]
+            out0, out1 = self._dedup(out0, out1)
+            n = wav_windows.shape[-1]
+            wav0 = self._masked_istft(out0, n)
+            wav1 = self._masked_istft(out1, n)
+            return wav0, wav1
         spec = stft_ops.stft(wav_windows, self.n_fft, self.hop_length,
                              center=True)  # (B, D, T', F)
         out0 = self._beamform_windows(spec, m1, mn)
         out1 = self._beamform_windows(spec, m2, mn)
-        # cross-stream dedup: duck the quieter stream when >dedup_db apart
-        # (beamformer.py:68-80)
+        out0, out1 = self._dedup(out0, out1)
+        n = wav_windows.shape[-1]
+        wav0 = stft_ops.istft(out0, self.n_fft, self.hop_length, center=True,
+                              length=n)
+        wav1 = stft_ops.istft(out1, self.n_fft, self.hop_length, center=True,
+                              length=n)
+        return wav0, wav1
+
+    def _dedup(self, out0, out1):
+        """Cross-stream dedup: duck the quieter stream when >dedup_db apart
+        (beamformer.py:68-80)."""
         s = jnp.stack([out0, out1], axis=1)  # (B, 2, T, F)
         pow_db = 10.0 * jnp.log10(
             jnp.sum(jnp.abs(s) ** 2, axis=(2, 3)) + 1e-30)  # (B, 2)
@@ -111,14 +136,25 @@ class Beamformer:
         ducked = jnp.maximum(gain, self.dedup_floor) * s
         duck0 = (pow_db[:, 1] - pow_db[:, 0] > self.dedup_db)[:, None, None]
         duck1 = (pow_db[:, 0] - pow_db[:, 1] > self.dedup_db)[:, None, None]
-        out0 = jnp.where(duck0, ducked[:, 0], s[:, 0])
-        out1 = jnp.where(duck1, ducked[:, 1], s[:, 1])
-        n = wav_windows.shape[-1]
-        wav0 = stft_ops.istft(out0, self.n_fft, self.hop_length, center=True,
-                              length=n)
-        wav1 = stft_ops.istft(out1, self.n_fft, self.hop_length, center=True,
-                              length=n)
-        return wav0, wav1
+        return (jnp.where(duck0, ducked[:, 0], s[:, 0]),
+                jnp.where(duck1, ducked[:, 1], s[:, 1]))
+
+    def _masked_istft(self, spec, n):
+        """Uncentered synthesis; fused Pallas kernel on TPU."""
+        import jax
+
+        if (jax.default_backend() in ("tpu", "axon")
+                and self.n_fft == 2 * self.hop_length):
+            from css_tpu.ops.istft_pallas import istft_pallas
+
+            wav = istft_pallas(spec, self.n_fft, self.hop_length)
+        else:
+            wav = stft_ops.istft(spec, self.n_fft, self.hop_length,
+                                 center=False)
+        if wav.shape[-1] < n:
+            wav = jnp.pad(wav, [(0, 0)] * (wav.ndim - 1)
+                          + [(0, n - wav.shape[-1])])
+        return wav[..., :n]
 
     # ------------------------------------------------------------- assembly
     def _assemble(self, wavs: np.ndarray, total: int) -> np.ndarray:
