@@ -285,6 +285,8 @@ def main(argv=None):
                 epoch=e + 1, loss=avg_loss,
                 conf={k: v for k, v in conf.items()
                       if isinstance(v, (str, int, float, bool, type(None)))})
+            checkpoint.gc_checkpoints(expdir, keep_every=args.keep_every,
+                                      keep_last=args.keep_last, job=args.job)
     metrics_log.close()
     log.info("Done.")
 

@@ -122,16 +122,20 @@ def average_checkpoints(paths: Sequence[str]) -> Dict[str, Any]:
     return merged
 
 
-_CKPT_RE = re.compile(r"^(\d+)\.mdl$")
-
-
-def gc_checkpoints(expdir: str, keep_every: int = 20, keep_last: int = 2):
+def gc_checkpoints(expdir: str, keep_every: int = 20, keep_last: int = 2,
+                   job: Optional[int] = None):
     """Delete old epoch checkpoints, keeping every Nth and the last K
-    (train_parallel.sh:79-84 GC policy)."""
+    (train_parallel.sh:79-84 GC policy).
+
+    job=None operates on merged ``{e}.mdl`` checkpoints; job=J on the
+    per-job ``{e}.{J}.mdl`` family.
+    """
     expdir = Path(expdir)
+    suffix = f".{job}.mdl" if job is not None else ".mdl"
+    pattern = re.compile(r"^(\d+)" + re.escape(suffix) + "$")
     epochs = []
     for p in expdir.iterdir():
-        m = _CKPT_RE.match(p.name)
+        m = pattern.match(p.name)
         if m:
             epochs.append(int(m.group(1)))
     if not epochs:
@@ -141,4 +145,4 @@ def gc_checkpoints(expdir: str, keep_every: int = 20, keep_last: int = 2):
     keep.update(e for e in epochs if e % keep_every == 0)
     for e in epochs:
         if e not in keep:
-            (expdir / f"{e}.mdl").unlink()
+            (expdir / f"{e}{suffix}").unlink()

@@ -155,6 +155,17 @@ def test_gc_checkpoints(tmp_path):
     assert left == [5, 9, 10]
 
 
+def test_gc_checkpoints_per_job(tmp_path):
+    for e in range(1, 8):
+        (tmp_path / f"{e}.1.mdl").write_bytes(b"x")
+        (tmp_path / f"{e}.2.mdl").write_bytes(b"x")
+    checkpoint.gc_checkpoints(tmp_path, keep_every=3, keep_last=2, job=1)
+    left1 = sorted(int(p.name.split(".")[0]) for p in tmp_path.glob("*.1.mdl"))
+    left2 = sorted(int(p.name.split(".")[0]) for p in tmp_path.glob("*.2.mdl"))
+    assert left1 == [3, 6, 7]
+    assert left2 == list(range(1, 8))  # other job untouched
+
+
 def test_nonfinite_step_is_skipped():
     trainer = _tiny_trainer()
     loader = _loader()
