@@ -52,11 +52,14 @@ def _istft_kernel(spec_ref, k_ref, env_ref, out_ref, *, t: int, hop: int):
     two_bins = spec_ref.shape[-1]
     frames = jnp.dot(spec_ref[:].reshape(_ROWS * t, two_bins), k_ref[:],
                      preferred_element_type=jnp.float32)  # (R*T, frame)
-    # overlap-add for hop = frame/2: half j of frame i lands at slot i+j
+    # overlap-add for hop = frame/2: half j of frame i lands at slot i+j.
+    # Expressed as zero-extended concats + one add (Mosaic has no
+    # scatter-add lowering for .at[].add).
     half = frames.reshape(_ROWS, t, 2, hop)
-    acc = jnp.zeros((_ROWS, t + 1, hop), jnp.float32)
-    acc = acc.at[:, :t].add(half[:, :, 0])
-    acc = acc.at[:, 1:].add(half[:, :, 1])
+    zero = jnp.zeros((_ROWS, 1, hop), jnp.float32)
+    a = jnp.concatenate([half[:, :, 0], zero], axis=1)  # (R, t+1, hop)
+    b = jnp.concatenate([zero, half[:, :, 1]], axis=1)
+    acc = a + b
     out_ref[:] = acc.reshape(_ROWS, (t + 1) * hop) * env_ref[0][None]
 
 
