@@ -42,6 +42,8 @@ def parse_arguments(argv=None):
                         help="use the built-in synthetic corpus")
     parser.add_argument("--synthetic-rirs", action="store_true",
                         help="augment with synthetic RIR/noise pools")
+    parser.add_argument("--synthetic-speakers", type=int, default=8)
+    parser.add_argument("--synthetic-utts", type=int, default=6)
     parser.add_argument("--expdir", type=str, required=True)
     parser.add_argument("--model", default="Conformer",
                         choices=sorted(MODELS.keys()))
@@ -81,6 +83,9 @@ def parse_arguments(argv=None):
                         help="call jax.distributed.initialize()")
     parser.add_argument("--profile-dir", default=None,
                         help="capture a jax.profiler trace of epoch 1 here")
+    parser.add_argument("--keep-best", action="store_true",
+                        help="also save best.{job}.mdl whenever validation "
+                             "loss improves")
     parser.add_argument("--validate-batches", type=int, default=100,
                         help="validation batches per epoch (iteration_types.py:71 uses 100)")
     parser.add_argument("--num-workers", type=int, default=2,
@@ -106,7 +111,9 @@ def parse_arguments(argv=None):
 
 def build_corpus(args):
     if args.synthetic_data or not args.train_manifest:
-        corpus = SyntheticCorpus(seed=args.seed)
+        corpus = SyntheticCorpus(seed=args.seed,
+                                 num_speakers=args.synthetic_speakers,
+                                 utts_per_speaker=args.synthetic_utts)
         dev = SyntheticCorpus(seed=args.seed + 1000, num_speakers=4,
                               utts_per_speaker=2)
     else:
@@ -220,6 +227,7 @@ def main(argv=None):
 
     metrics_log = MetricsLogger(expdir / f"train.{args.job}.jsonl",
                                 echo_every=50)
+    best_val = float("inf")
     profiling = False
     if args.profile_dir:
         jax.profiler.start_trace(args.profile_dir)
@@ -262,6 +270,7 @@ def main(argv=None):
             state, avg_loss = trainer.train_one_epoch(
                 state, dataset, args.batches_per_epoch, rng, metrics_log)
 
+        val = None
         if dev_dataset is not None:
             val_state = (strategy.replica_state(state)
                          if args.strategy == "replica_avg" else state)
@@ -269,6 +278,16 @@ def main(argv=None):
                                    num_batches=args.validate_batches)
             log.info("Epoch %d :: train loss %.5f valid loss %.5f",
                      e + 1, avg_loss, val)
+            if args.keep_best and np.isfinite(val) and val < best_val:
+                best_val = val
+                checkpoint.save_checkpoint(
+                    expdir / f"best.{args.job}.mdl", val_state,
+                    epoch=e + 1, loss=float(val),
+                    conf={k: v for k, v in conf.items()
+                          if isinstance(v, (str, int, float, bool,
+                                            type(None)))})
+                log.info("New best validation loss %.5f (epoch %d)",
+                         val, e + 1)
         else:
             log.info("Epoch %d :: train loss %.5f", e + 1, avg_loss)
 
