@@ -162,6 +162,10 @@ class Beamformer:
         partition (beamformer.py:104-118, minus the double-count bug)."""
         out = np.zeros(total, np.float32)
         b = wavs.shape[0]
+        if b == 1:  # single window covers the whole (short) recording
+            n = min(total, wavs.shape[1])
+            out[:n] = wavs[0, :n]
+            return out
         for i in range(b):
             st = i * self.hop
             if i == 0:
