@@ -108,7 +108,14 @@ class MixtureSynthesizer:
         mixes, s1s, s2s = [], [], []
         total_length = 0.0
         total_overlap = 0.0
+        failed_attempts = 0
         while len(mixes) < self.batch_size:
+            if failed_attempts > 10000:
+                raise RuntimeError(
+                    f"could not fill a batch: no sampled mixture reaches the "
+                    f"{window_size:.2f}s window (longest utterances are "
+                    f"shorter than the window?) — lower --min-window-size "
+                    f"or provide longer utterances")
             spk1, spk2 = rng.choice(len(self.corpus.speakers), 2, replace=False)
             utts1 = self.corpus.by_speaker[self.corpus.speakers[spk1]]
             utts2 = self.corpus.by_speaker[self.corpus.speakers[spk2]]
@@ -125,6 +132,7 @@ class MixtureSynthesizer:
             total_length += mix_end_t
             total_overlap += min(cut2.duration, cut1.duration - off_t)
             if mix_end_t < window_size:
+                failed_attempts += 1
                 continue
             num_windows = int(mix_end_t / window_size)
             if self._use_native:

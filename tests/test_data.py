@@ -81,3 +81,28 @@ def test_manifest_roundtrip(tmp_path):
     assert len(c2) == 4 and c2.speakers == ["spk0", "spk1"]
     np.testing.assert_allclose(c2.utterances[0].load(),
                                c.utterances[0].load(), atol=1e-4)
+
+
+def test_mixer_raises_when_window_exceeds_all_utterances():
+    import pytest
+
+    c = SyntheticCorpus(num_speakers=3, utts_per_speaker=2,
+                        min_dur=1.0, max_dur=1.5)
+    ds = MixtureSynthesizer(c, batch_size=4, min_window=10.0,
+                            max_window=10.0, seed=0)
+    with pytest.raises(RuntimeError, match="window"):
+        next(ds)
+
+
+def test_stitcher_single_window():
+    import jax.numpy as jnp
+
+    from css_tpu.executor.stitcher import Stitcher
+
+    rng = np.random.default_rng(0)
+    masks = rng.uniform(0, 1, (1, 150, 9, 3)).astype(np.float32)
+    mags = rng.uniform(0, 1, (1, 150, 9)).astype(np.float32)
+    st = Stitcher()
+    r1, r2, rn = [np.asarray(x) for x in st(masks, mags)]
+    assert r1.shape == (150, 9)
+    assert np.isfinite(r1).all()
