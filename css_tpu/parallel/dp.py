@@ -53,7 +53,11 @@ class DataParallel:
             # optimizer moments follow the param sharding automatically
             # when rebuilt from the sharded params
             opt_state = self.trainer.tx.init(params)
-            state = state.replace(params=params, opt_state=opt_state)
+            state = state.replace(
+                params=params, opt_state=opt_state,
+                batch_stats=jax.device_put(state.batch_stats,
+                                           replicate(self.mesh)),
+                step=jax.device_put(state.step, replicate(self.mesh)))
         else:
             state = jax.device_put(state, replicate(self.mesh))
         return state
