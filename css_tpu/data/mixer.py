@@ -67,6 +67,7 @@ class MixtureSynthesizer:
             rir_pool=conf.get("rir_pool"),
             noise_pool=conf.get("noise_pool"),
             seed=int(conf.get("seed", 0)),
+            num_speakers=int(conf.get("num_spk", 2)),
         )
 
     def __init__(self, corpus: Corpus, batch_size: int = 32,
@@ -75,9 +76,16 @@ class MixtureSynthesizer:
                  rir_pool=None, noise_pool=None,
                  min_snr: float = 5.0, max_snr: float = 20.0,
                  reverb_p: float = 0.5, noise_p: float = 0.5,
-                 seed: int = 0, use_native: bool = True):
-        if len(corpus.speakers) < 2:
-            raise ValueError("need at least 2 speakers")
+                 seed: int = 0, use_native: bool = True,
+                 num_speakers: int = 2):
+        # K-speaker generalization of the reference's 2-speaker sampling
+        # (separation.py:184-189): K distinct speakers, the longest
+        # utterance anchors, the rest offset uniformly in [0, dur_base/2]
+        if len(corpus.speakers) < num_speakers:
+            raise ValueError(
+                f"need at least {num_speakers} speakers, corpus has "
+                f"{len(corpus.speakers)}")
+        self.num_speakers = num_speakers
         self._use_native = use_native and native.available()
         self.corpus = corpus
         self.sr = corpus.sample_rate
@@ -105,7 +113,9 @@ class MixtureSynthesizer:
         rng = self.rng
         window_size = self.window_buckets[rng.integers(len(self.window_buckets))]
         win = int(window_size * self.sr)
-        mixes, s1s, s2s = [], [], []
+        k_spk = self.num_speakers
+        mixes = []
+        srcs = [[] for _ in range(k_spk)]
         total_length = 0.0
         total_overlap = 0.0
         failed_attempts = 0
@@ -116,56 +126,59 @@ class MixtureSynthesizer:
                     f"{window_size:.2f}s window (longest utterances are "
                     f"shorter than the window?) — lower --min-window-size "
                     f"or provide longer utterances")
-            spk1, spk2 = rng.choice(len(self.corpus.speakers), 2, replace=False)
-            utts1 = self.corpus.by_speaker[self.corpus.speakers[spk1]]
-            utts2 = self.corpus.by_speaker[self.corpus.speakers[spk2]]
-            cut1 = utts1[rng.integers(len(utts1))]
-            cut2 = utts2[rng.integers(len(utts2))]
-            if cut1.duration < cut2.duration:
-                cut1, cut2 = cut2, cut1  # separation.py:187-189
-            w1 = cut1.load()
-            w2 = cut2.load()
-            off_t = rng.uniform(0, cut1.duration / 2)  # separation.py:192
-            off = int(off_t * self.sr)
-            mix_len = max(len(w1), off + len(w2))
+            spk_idx = rng.choice(len(self.corpus.speakers), k_spk,
+                                 replace=False)
+            cuts = []
+            for si in spk_idx:
+                utts = self.corpus.by_speaker[self.corpus.speakers[si]]
+                cuts.append(utts[rng.integers(len(utts))])
+            # the longest utterance anchors the mixture (separation.py:187-189)
+            cuts.sort(key=lambda c: -c.duration)
+            base = cuts[0]
+            waves = [c.load() for c in cuts]
+            # others start uniformly in [0, base_dur/2] (separation.py:192)
+            offs = [0] + [int(rng.uniform(0, base.duration / 2) * self.sr)
+                          for _ in cuts[1:]]
+            mix_len = max(o + len(w) for o, w in zip(offs, waves))
             mix_end_t = mix_len / self.sr
             total_length += mix_end_t
-            total_overlap += min(cut2.duration, cut1.duration - off_t)
+            for c, o in zip(cuts[1:], offs[1:]):
+                total_overlap += min(c.duration,
+                                     base.duration - o / self.sr)
             if mix_end_t < window_size:
                 failed_attempts += 1
                 continue
             num_windows = int(mix_end_t / window_size)
-            if self._use_native:
+            usable = num_windows * win
+            if self._use_native and k_spk == 2:
                 mixw, s1w, s2w = native.mix_and_window(
-                    w1, w2, off, win, num_windows)
+                    waves[0], waves[1], offs[1], win, num_windows)
+                src_windows = [s1w, s2w]
             else:
-                src1 = np.zeros(mix_len, np.float32)
-                src1[: len(w1)] = w1
-                src2 = np.zeros(mix_len, np.float32)
-                src2[off : off + len(w2)] = w2
-                mix = src1 + src2
-                usable = num_windows * win
-                pad = max(0, usable - mix_len)
-                if pad:
-                    mix = np.pad(mix, (0, pad))
-                    src1 = np.pad(src1, (0, pad))
-                    src2 = np.pad(src2, (0, pad))
+                length = max(mix_len, usable)
+                padded = []
+                for o, w in zip(offs, waves):
+                    s = np.zeros(length, np.float32)
+                    s[o : o + len(w)] = w
+                    padded.append(s)
+                mix = np.sum(padded, axis=0)
                 mixw = mix[:usable].reshape(num_windows, win)
-                s1w = src1[:usable].reshape(num_windows, win)
-                s2w = src2[:usable].reshape(num_windows, win)
-            for k in range(num_windows):
-                m = mixw[k]
+                src_windows = [s[:usable].reshape(num_windows, win)
+                               for s in padded]
+            for wi in range(num_windows):
+                m = mixw[wi]
                 for tr in self.transforms:  # mixture only (separation.py:233)
                     m = tr(m, rng)
                 mixes.append(m)
-                s1s.append(s1w[k])
-                s2s.append(s2w[k])
+                for s_list, sw in zip(srcs, src_windows):
+                    s_list.append(sw[wi])
                 if len(mixes) >= self.batch_size:
                     break
-        return {
+        batch = {
             "mix": np.stack(mixes),
-            "source1": np.stack(s1s),
-            "source2": np.stack(s2s),
             "lens": np.full(self.batch_size, win, np.int32),
             "ovl": np.float32(total_overlap / max(total_length, 1e-9)),
         }
+        for i, s_list in enumerate(srcs):
+            batch[f"source{i + 1}"] = np.stack(s_list)
+        return batch

@@ -94,8 +94,11 @@ class Beamformer:
             out = out / jnp.maximum(out_e, 1e-12) * masked_e
         return out
 
-    def _process_impl(self, wav_windows, m1, m2, mn):
-        """wav_windows (B, D, N); masks (B, T, F) -> two (B, N) wavs."""
+    def _process_impl(self, wav_windows, speaker_masks, noise_mask):
+        """wav_windows (B, D, N); speaker_masks (B, K, T, F);
+        noise_mask (B, T, F) -> (B, K, N) wavs."""
+        n = wav_windows.shape[-1]
+        k = speaker_masks.shape[1]
         if self.bf_type == "masking":
             # uncentered analysis: frame t covers [t*hop, t*hop+frame) —
             # EXACTLY the convention the masks were estimated under
@@ -104,40 +107,37 @@ class Beamformer:
             # synthesis length (T+1)*hop == N
             spec = stft_ops.stft(wav_windows, self.n_fft, self.hop_length,
                                  center=False)  # (B, D, T, F)
-            t = min(spec.shape[2], m1.shape[1])
-            out0 = m1[:, :t] * spec[:, 0, :t]
-            out1 = m2[:, :t] * spec[:, 0, :t]
-            out0, out1 = self._dedup(out0, out1)
-            n = wav_windows.shape[-1]
-            wav0 = self._masked_istft(out0, n)
-            wav1 = self._masked_istft(out1, n)
-            return wav0, wav1
+            t = min(spec.shape[2], speaker_masks.shape[2])
+            outs = speaker_masks[:, :, :t] * spec[:, None, 0, :t]  # (B,K,T,F)
+            outs = self._dedup(outs)
+            b = outs.shape[0]
+            wavs = self._masked_istft(
+                outs.reshape(b * k, *outs.shape[2:]), n)
+            return wavs.reshape(b, k, -1)
         spec = stft_ops.stft(wav_windows, self.n_fft, self.hop_length,
                              center=True)  # (B, D, T', F)
-        out0 = self._beamform_windows(spec, m1, mn)
-        out1 = self._beamform_windows(spec, m2, mn)
-        out0, out1 = self._dedup(out0, out1)
-        n = wav_windows.shape[-1]
-        wav0 = stft_ops.istft(out0, self.n_fft, self.hop_length, center=True,
+        outs = jnp.stack(
+            [self._beamform_windows(spec, speaker_masks[:, i], noise_mask)
+             for i in range(k)], axis=1)  # (B, K, T, F)
+        outs = self._dedup(outs)
+        b = outs.shape[0]
+        wavs = stft_ops.istft(outs.reshape(b * k, *outs.shape[2:]),
+                              self.n_fft, self.hop_length, center=True,
                               length=n)
-        wav1 = stft_ops.istft(out1, self.n_fft, self.hop_length, center=True,
-                              length=n)
-        return wav0, wav1
+        return wavs.reshape(b, k, -1)
 
-    def _dedup(self, out0, out1):
-        """Cross-stream dedup: duck the quieter stream when >dedup_db apart
-        (beamformer.py:68-80)."""
-        s = jnp.stack([out0, out1], axis=1)  # (B, 2, T, F)
+    def _dedup(self, s):
+        """Cross-stream dedup: duck streams >dedup_db below the loudest
+        (beamformer.py:68-80, pairwise in the 2-stream reference)."""
         pow_db = 10.0 * jnp.log10(
-            jnp.sum(jnp.abs(s) ** 2, axis=(2, 3)) + 1e-30)  # (B, 2)
+            jnp.sum(jnp.abs(s) ** 2, axis=(2, 3)) + 1e-30)  # (B, K)
         s_abs = jnp.abs(s)
         gain = s_abs / jnp.maximum(jnp.max(s_abs, axis=1, keepdims=True),
                                    1e-30)
         ducked = jnp.maximum(gain, self.dedup_floor) * s
-        duck0 = (pow_db[:, 1] - pow_db[:, 0] > self.dedup_db)[:, None, None]
-        duck1 = (pow_db[:, 0] - pow_db[:, 1] > self.dedup_db)[:, None, None]
-        return (jnp.where(duck0, ducked[:, 0], s[:, 0]),
-                jnp.where(duck1, ducked[:, 1], s[:, 1]))
+        loudest = jnp.max(pow_db, axis=1, keepdims=True)
+        duck = (loudest - pow_db > self.dedup_db)[:, :, None, None]
+        return jnp.where(duck, ducked, s)
 
     def _masked_istft(self, spec, n):
         """Uncentered synthesis; fused Pallas kernel on TPU."""
@@ -181,11 +181,11 @@ class Beamformer:
                 out[lo:hi] = wavs[i, self.margin - self.hop : self.margin]
         return out
 
-    def continuous_process(self, wav: np.ndarray,
-                           masks: Tuple[np.ndarray, np.ndarray, np.ndarray]):
-        """wav (D, T) or (T,); masks: three (T_frames, F) stitched masks.
+    def continuous_process(self, wav: np.ndarray, masks):
+        """wav (D, T) or (T,); masks: K+1 stitched (T_frames, F) masks
+        (K speaker streams, last one noise).
 
-        Returns (wav0, wav1), each (T,), peak-normalized to 0.9
+        Returns K waveforms, each (T,), peak-normalized to 0.9
         (beamformer.py:122-123).
         """
         wav = np.asarray(wav, np.float32)
@@ -199,12 +199,15 @@ class Beamformer:
         ]  # each (B, F, Tw)
         b = min([wav_windows.shape[0]] + [mw.shape[0] for mw in mask_windows])
         wav_windows = wav_windows[:b]
-        m1, m2, mn = [np.transpose(mw[:b], (0, 2, 1)) for mw in mask_windows]
-        wav0, wav1 = self._process(
-            jnp.asarray(wav_windows), jnp.asarray(m1), jnp.asarray(m2),
-            jnp.asarray(mn))
-        res0 = self._assemble(np.asarray(wav0), total)
-        res1 = self._assemble(np.asarray(wav1), total)
-        res0 = res0 * 0.9 / max(np.abs(res0).max(), 1e-12)
-        res1 = res1 * 0.9 / max(np.abs(res1).max(), 1e-12)
-        return res0, res1
+        tw = [np.transpose(mw[:b], (0, 2, 1)) for mw in mask_windows]
+        speaker_masks = np.stack(tw[:-1], axis=1)  # (B, K, Tw, F)
+        noise_mask = tw[-1]
+        wavs = self._process(jnp.asarray(wav_windows),
+                             jnp.asarray(speaker_masks),
+                             jnp.asarray(noise_mask))  # (B, K, N)
+        wavs = np.asarray(wavs)
+        outs = []
+        for s in range(wavs.shape[1]):
+            res = self._assemble(wavs[:, s], total)
+            outs.append(res * 0.9 / max(np.abs(res).max(), 1e-12))
+        return tuple(outs)

@@ -28,6 +28,9 @@ class CssPipeline:
         sti = config.get("stitching", {})
         bf = config.get("beamforming", {})
         self.sr = int(config.get("sampling_rate", sr))
+        num_spk = int(sep.get("num_spk",
+                              getattr(model, "num_spk", 2) or 2))
+        self.num_spk = num_spk
         # sharded: true -> run forward+stitch for ALL windows as one jit
         # program over the local device mesh (css_tpu.executor.sharded);
         # windows of one recording are split across chips
@@ -46,6 +49,7 @@ class CssPipeline:
                 frame_hop=int(sep.get("frame_shift", 256)),
                 ipd_index=sep.get("ipd"),
                 wta_floor=float(bf.get("wta_thresh", 1e-4)),
+                num_spk=num_spk,
             )
         self.separator = Separator(
             model, variables, sr=self.sr,
@@ -64,6 +68,7 @@ class CssPipeline:
             fft_hop=int(sti.get("hop_size", sep.get("frame_shift", 256))),
             sr=self.sr,
             wta_floor=float(bf.get("wta_thresh", 1e-4)),
+            num_spk=num_spk,
         )
         bf_type = bf.get("type", "souden_mvdr")
         # accept the reference's asteroid class names (conf/config_1ch.yaml:21)
@@ -82,7 +87,7 @@ class CssPipeline:
         )
 
     def process(self, wav: np.ndarray):
-        """wav (T,) or (C, T) -> (wav0, wav1) separated streams."""
+        """wav (T,) or (C, T) -> tuple of num_spk separated streams."""
         wav = np.asarray(wav, np.float32)
         total = wav.shape[-1]
         # pad so sliding windows cover the WHOLE recording (bare unfold
@@ -100,15 +105,15 @@ class CssPipeline:
         else:
             masks, mags = self.separator.separate(wav)
             stitched = [np.asarray(m) for m in self.stitcher(masks, mags)]
-        out0, out1 = self.beamformer.continuous_process(wav, stitched)
-        return out0[:total], out1[:total]
+        outs = self.beamformer.continuous_process(wav, stitched)
+        return tuple(o[:total] for o in outs)
 
     def process_recording(self, key: str, wav: np.ndarray, out_dir: str):
-        """Separate one recording and write {key}_0.wav / {key}_1.wav
-        (separate_libricss.py:81-82)."""
-        out0, out1 = self.process(wav)
+        """Separate one recording and write {key}_{i}.wav per stream
+        (separate_libricss.py:81-82 writes _0/_1 for 2 speakers)."""
+        outs = self.process(wav)
         out_dir = Path(out_dir)
         out_dir.mkdir(parents=True, exist_ok=True)
-        write_wav(out_dir / f"{key}_0.wav", out0, self.sr)
-        write_wav(out_dir / f"{key}_1.wav", out1, self.sr)
-        return out0, out1
+        for i, out in enumerate(outs):
+            write_wav(out_dir / f"{key}_{i}.wav", out, self.sr)
+        return outs

@@ -34,7 +34,8 @@ class ShardedSeparation:
                  sr: int = 16000, eval_win: float = 2.4, eval_hop: float = 0.8,
                  frame_len: int = 512, frame_hop: int = 256,
                  ipd_index: Optional[str] = None,
-                 wta_floor: float = 1e-4, extra_samples: int = 256):
+                 wta_floor: float = 1e-4, extra_samples: int = 256,
+                 num_spk: int = 2):
         self.model = model
         self.variables = jax.tree.map(jnp.asarray, variables)
         self.mesh = mesh
@@ -43,7 +44,8 @@ class ShardedSeparation:
         self.hop = int(eval_hop * sr)
         self.features = FeatureExtractor(frame_len, frame_hop,
                                          ipd_index=ipd_index)
-        self.stitcher = Stitcher(eval_win, eval_hop, frame_hop, sr, wta_floor)
+        self.stitcher = Stitcher(eval_win, eval_hop, frame_hop, sr, wta_floor,
+                                 num_spk=num_spk)
         self.n_shards = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
         self._run = jax.jit(self._run_impl)
 

@@ -53,13 +53,16 @@ class MeanSquaredError:
             y_pred, masks = outputs[0], outputs[1]
         else:
             y_pred, masks = outputs, None
-        y_true = jnp.stack([batch["source1"], batch["source2"]], axis=1)
+        src_keys = sorted(
+            (k for k in batch if k.startswith("source") and k[6:].isdigit()),
+            key=lambda k: int(k[6:]))
+        y_true = jnp.stack([batch[k] for k in src_keys], axis=1)
         loss, perms = batch_pit_loss(y_pred, y_true, loss_fn=mse_pairwise)
         aux = {"perms": perms}
         if self.noise_weight and masks is not None and "input" in batch:
             mag = batch["input"]
             residual = jnp.maximum(
-                mag - batch["source1"] - batch["source2"], 0.0)
+                mag - sum(batch[k] for k in src_keys), 0.0)
             noise_pred = masks[..., -1] * mag
             noise_loss = jnp.mean(jnp.square(noise_pred - residual))
             aux["noise_loss"] = noise_loss

@@ -56,9 +56,11 @@ class SiSnrObjective:
         """outputs: (B, K, N) waveforms (or (y_pred, ...) tuple);
         sources (B, N) in the batch."""
         y_pred = outputs[0] if isinstance(outputs, tuple) else outputs
-        n = min(y_pred.shape[-1], batch["source1"].shape[-1])
-        y_true = jnp.stack(
-            [batch["source1"][..., :n], batch["source2"][..., :n]], axis=1)
+        src_keys = sorted(
+            (k for k in batch if k.startswith("source") and k[6:].isdigit()),
+            key=lambda k: int(k[6:]))
+        n = min(y_pred.shape[-1], batch[src_keys[0]].shape[-1])
+        y_true = jnp.stack([batch[k][..., :n] for k in src_keys], axis=1)
         loss, perms = batch_pit_loss(
             y_pred[..., :n], y_true, loss_fn=neg_si_snr_pairwise)
         return loss, {"perms": perms, "si_snr": -loss}

@@ -92,8 +92,9 @@ class Trainer:
 
     # ---------------------------------------------------------------- setup
     def init_state(self, rng, example_batch) -> TrainState:
-        example_batch = {k: v for k, v in example_batch.items()
-                         if k in ("mix", "source1", "source2")}
+        example_batch = {
+            k: v for k, v in example_batch.items()
+            if k == "mix" or (k.startswith("source") and k[6:].isdigit())}
 
         # jit the whole init: eager per-op dispatch is pathological on
         # remote/tunneled TPU backends
@@ -117,19 +118,27 @@ class Trainer:
                           opt_state=self.tx.init(params))
 
     # ------------------------------------------------------------- features
+    @staticmethod
+    def source_keys(batch):
+        """source1..sourceK keys in order (K-speaker batches)."""
+        keys = [k for k in batch
+                if k.startswith("source") and k[6:].isdigit()]
+        return sorted(keys, key=lambda k: int(k[6:]))
+
     def _featurize(self, batch) -> Dict[str, jax.Array]:
         """Raw waveforms -> model inputs + objective targets (on device)."""
+        src = self.source_keys(batch)
         if self.input_domain == "time":
-            return {"input": batch["mix"], "source1": batch["source1"],
-                    "source2": batch["source2"]}
+            return {"input": batch["mix"], **{k: batch[k] for k in src}}
         # fused Pallas STFT-magnitude on TPU, XLA elsewhere; magnitudes are
         # loss inputs/targets only, so no VJP is needed through the STFT
         from css_tpu.ops.stft_pallas import stft_mag
 
         fl, fh = self.features.frame_len, self.features.frame_hop
-        return {"input": stft_mag(batch["mix"], fl, fh),
-                "source1": stft_mag(batch["source1"], fl, fh),
-                "source2": stft_mag(batch["source2"], fl, fh)}
+        out = {"input": stft_mag(batch["mix"], fl, fh)}
+        for k in src:
+            out[k] = stft_mag(batch[k], fl, fh)
+        return out
 
     # ----------------------------------------------------------------- step
     def _loss_fn(self, params, batch_stats, feats, rng, train: bool):

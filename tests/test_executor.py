@@ -34,14 +34,13 @@ def test_stitcher_matches_reference():
     mags = rng.uniform(0, 2, (b, t, f)).astype(np.float32)
 
     st = Stitcher(eval_win=2.4, eval_hop=0.8, fft_hop=256)
-    flips = np.asarray(st.get_stitch(jnp.asarray(masks), jnp.asarray(mags)))
+    perms = np.asarray(st.get_stitch(jnp.asarray(masks), jnp.asarray(mags)))
     r1, r2, rn = [np.asarray(r) for r in st(masks, mags)]
 
     mags_ft = [mags[i].T for i in range(b)]
     masks_ft3 = [np.transpose(masks[i], (1, 0, 2)) for i in range(b)]
     ref_perm, ref_res = _ref_stitch(mags_ft, masks_ft3)
-    ref_flips = [p == [1, 0] for p in ref_perm]
-    assert list(flips) == ref_flips
+    assert [list(p) for p in perms] == ref_perm
     np.testing.assert_allclose(r1.T, ref_res[0], atol=1e-5, rtol=1e-4)
     np.testing.assert_allclose(r2.T, ref_res[1], atol=1e-5, rtol=1e-4)
     np.testing.assert_allclose(rn.T, ref_res[2], atol=1e-5, rtol=1e-4)
@@ -67,8 +66,8 @@ def test_stitcher_propagates_flip_state():
         masks[i, ..., 2] = noise
     mags = np.ones((b, t, f), np.float32)
     st = Stitcher(eval_win=2.4, eval_hop=0.8, fft_hop=256)
-    flips = np.asarray(st.get_stitch(jnp.asarray(masks), jnp.asarray(mags)))
-    assert flips.all()  # every boundary swaps
+    perms = np.asarray(st.get_stitch(jnp.asarray(masks), jnp.asarray(mags)))
+    assert (perms == [1, 0]).all()  # every boundary swaps
     r1, r2, _ = [np.asarray(r) for r in st(masks, mags)]
     # stream 1 should consistently be the low-band source everywhere
     assert (r1[:, : f // 2] > r1[:, f // 2 :]).mean() > 0.95
