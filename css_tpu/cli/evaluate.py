@@ -5,9 +5,11 @@ in-repo quality metrics (SURVEY.md §5 observability row); BASELINE.md
 requires SI-SNRi, computed here from separated outputs + reference
 sources. Inputs are jsonl manifests or parallel directories:
 
-  --estimates DIR with {key}_0.wav / {key}_1.wav (cli.separate output)
-  --references DIR with {key}_src0.wav / {key}_src1.wav
+  --estimates DIR with {key}_0.wav .. {key}_{K-1}.wav (cli.separate output)
+  --references DIR with {key}_src0.wav .. {key}_src{K-1}.wav
   --mixtures DIR with {key}.wav (for the SI-SNRi baseline)
+
+K is discovered per key from the files present (or forced via --num-spk).
 """
 
 from __future__ import annotations
@@ -30,6 +32,9 @@ def main(argv=None):
     parser.add_argument("--estimates", required=True)
     parser.add_argument("--references", required=True)
     parser.add_argument("--mixtures", default=None)
+    parser.add_argument("--num-spk", type=int, default=None,
+                        help="stream count; default: discover per key from "
+                             "the {key}_{i}.wav files present")
     parser.add_argument("--output", default=None, help="jsonl results path")
     args = parser.parse_args(argv)
 
@@ -41,9 +46,19 @@ def main(argv=None):
         raise SystemExit(f"no {{key}}_0.wav estimates found in {est_dir}")
     results = []
     for key in keys:
-        ests = [read_wav(est_dir / f"{key}_{i}.wav")[0] for i in range(2)]
-        refs = [read_wav(ref_dir / f"{key}_src{i}.wav")[0] for i in range(2)]
-        rec = {"key": key, "si_snr_db": pit_si_snr_db(ests, refs)}
+        if args.num_spk:
+            k = args.num_spk
+        else:
+            k = 0
+            while (est_dir / f"{key}_{k}.wav").exists() and \
+                    (ref_dir / f"{key}_src{k}.wav").exists():
+                k += 1
+            if k < 2:
+                raise SystemExit(
+                    f"found fewer than 2 estimate/reference pairs for {key}")
+        ests = [read_wav(est_dir / f"{key}_{i}.wav")[0] for i in range(k)]
+        refs = [read_wav(ref_dir / f"{key}_src{i}.wav")[0] for i in range(k)]
+        rec = {"key": key, "num_spk": k, "si_snr_db": pit_si_snr_db(ests, refs)}
         if args.mixtures:
             mix = read_wav(Path(args.mixtures) / f"{key}.wav")[0]
             rec["si_snri_db"] = si_snr_improvement_db(ests, refs, mix)

@@ -141,13 +141,15 @@ class MixtureSynthesizer:
                           for _ in cuts[1:]]
             mix_len = max(o + len(w) for o, w in zip(offs, waves))
             mix_end_t = mix_len / self.sr
+            if mix_end_t < window_size:
+                failed_attempts += 1
+                continue
+            # accumulate stats only for ACCEPTED draws so 'ovl' reflects
+            # the audio actually emitted
             total_length += mix_end_t
             for c, o in zip(cuts[1:], offs[1:]):
                 total_overlap += min(c.duration,
                                      base.duration - o / self.sr)
-            if mix_end_t < window_size:
-                failed_attempts += 1
-                continue
             num_windows = int(mix_end_t / window_size)
             usable = num_windows * win
             if self._use_native and k_spk == 2:

@@ -61,6 +61,7 @@ class CssPipeline:
             ipd_index=sep.get("ipd"),
             merge=bool(sep.get("merge", False)),
             merge_threshold=float(sep.get("merge_threshold", 16.0)),
+            num_spk=num_spk,
         )
         self.stitcher = Stitcher(
             eval_win=float(sti.get("eval_win", sep.get("eval_win", 2.4))),

@@ -41,7 +41,15 @@ class Separator:
         merge: bool = False,
         merge_threshold: float = 16.0,
         extra_samples: int = 256,
+        num_spk: int = 2,
     ):
+        if merge and num_spk != 2:
+            # angle_merge binarizes and compares exactly two speaker DOAs
+            # (separator.py:165-200); with K>2 it would silently route the
+            # extra speakers as noise streams
+            raise ValueError(
+                f"merge=true requires num_spk==2 (got {num_spk}); disable "
+                "the DOA merge for K-speaker separation")
         self.model = model
         # checkpoints hold numpy leaves; jitted code needs jax arrays
         # (numpy params break traced indexing, e.g. the rel-pos gather)

@@ -29,11 +29,14 @@ class MeanSquaredError:
 
     @staticmethod
     def add_args(parser):
-        parser.add_argument("--mse-noise-weight", type=float, default=0.3)
+        # 0.0 preserves reference parity (the reference objective has no
+        # noise term); enable explicitly for in-framework training so the
+        # noise mask learns the non-speech residual
+        parser.add_argument("--mse-noise-weight", type=float, default=0.0)
 
     @classmethod
     def build_objective(cls, conf):
-        return cls(noise_weight=float(conf.get("mse_noise_weight", 0.3)))
+        return cls(noise_weight=float(conf.get("mse_noise_weight", 0.0)))
 
     @classmethod
     def add_state_dict(cls, s1, s2, fraction, iteration=None):

@@ -26,6 +26,7 @@ python -m css_tpu.cli.train \
   --batch-size 32 --batches-per-epoch 500 --num-epochs 100 \
   --optim adam --lr 1e-4 --weight-decay 1e-2 --grad-thresh 5.0 \
   --warmup 20000 --decay 1e-5 \
+  --mse-noise-weight 0.3 \
   --strategy "$strategy" --bf16 \
   --keep-every 20 --keep-last 2 \
   "$@"

@@ -1,0 +1,140 @@
+"""End-to-end separation-quality harness on synthetic LibriCSS-style sessions.
+
+Generates held-out continuous 2-speaker sessions (alternating utterances
+with LibriCSS-like partial overlap, 0-40%), runs the full user surface
+(`cli.separate` -> `cli.evaluate`) against a trained checkpoint, and prints
+the mean SI-SNRi plus the ideal-ratio-mask oracle on the same material.
+
+Usage:
+  python scripts/quality_eval.py --checkpoint exp/best.1.mdl \
+      --model Conformer [--sessions 3] [--session-sec 60] [--workdir DIR]
+
+This is the protocol behind BASELINE.md's quality headline (the reference's
+quality story is WER via an external ASR, which this environment lacks;
+SI-SNRi on synthetic sessions is the self-measured stand-in).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+import numpy as np
+
+
+def make_session(corpus, rng, dur_sec: float, sr: int = 16000,
+                 overlap_frac: float = 0.3):
+    """One continuous 2-speaker conversation.
+
+    Utterances alternate between the two speakers; each next utterance
+    starts `overlap_frac` of the previous utterance's length before the
+    previous one ends (LibriCSS-style partial overlap), jittered per turn.
+    """
+    spk = rng.choice(corpus.speakers, 2, replace=False)
+    n = int(dur_sec * sr)
+    srcs = np.zeros((2, n), np.float32)
+    pos = 0
+    turn = 0
+    prev_len = 0
+    while pos < n:
+        utts = corpus.by_speaker[spk[turn % 2]]
+        wav = utts[rng.integers(len(utts))].load()
+        ov = rng.uniform(0.0, 2 * overlap_frac)  # mean = overlap_frac
+        start = max(0, pos - int(ov * prev_len))
+        end = min(n, start + len(wav))
+        srcs[turn % 2, start:end] += wav[: end - start]
+        prev_len = len(wav)
+        pos = start + len(wav)
+        turn += 1
+    mix = srcs.sum(axis=0)
+    return mix, srcs
+
+
+def irm_oracle_si_snri(mix, srcs, sr=16000):
+    """Ideal-ratio-mask resynthesis bound on the same material."""
+    from css_tpu.ops.stft import istft, stft
+    from css_tpu.utils.metrics import si_snr_improvement_db
+
+    spec = np.asarray(stft(mix[None], 512, 256))[0]
+    outs = []
+    mags = [np.abs(np.asarray(stft(s[None], 512, 256))[0]) for s in srcs]
+    denom = sum(mags) + 1e-8
+    for m in mags:
+        masked = spec * (m / denom)
+        outs.append(np.asarray(
+            istft(masked[None], 512, 256, length=mix.shape[-1]))[0])
+    return si_snr_improvement_db(outs, list(srcs), mix)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--checkpoint", required=True)
+    parser.add_argument("--model", default="Conformer")
+    parser.add_argument("--sessions", type=int, default=3)
+    parser.add_argument("--session-sec", type=float, default=60.0)
+    parser.add_argument("--seed", type=int, default=123)
+    parser.add_argument("--num-speakers", type=int, default=6,
+                        help="held-out corpus size")
+    parser.add_argument("--workdir", default="/tmp/css_tpu_quality")
+    parser.add_argument("--beamformer", default="masking")
+    parser.add_argument("--skip-oracle", action="store_true")
+    args = parser.parse_args(argv)
+
+    from css_tpu.cli import evaluate as evaluate_cli
+    from css_tpu.cli import separate as separate_cli
+    from css_tpu.data import SyntheticCorpus
+    from css_tpu.data.corpus import write_wav
+
+    work = Path(args.workdir)
+    mix_dir, ref_dir, out_dir = work / "mix", work / "ref", work / "out"
+    for d in (mix_dir, ref_dir, out_dir):
+        d.mkdir(parents=True, exist_ok=True)
+
+    # held-out speakers: seed disjoint from training corpora (train uses
+    # seed / seed+1000 in cli.train)
+    corpus = SyntheticCorpus(num_speakers=args.num_speakers,
+                             utts_per_speaker=4, seed=args.seed)
+    rng = np.random.default_rng(args.seed)
+    oracle = []
+    for i in range(args.sessions):
+        mix, srcs = make_session(corpus, rng, args.session_sec)
+        key = f"sess{i}"
+        write_wav(mix_dir / f"{key}.wav", mix)
+        for k in range(2):
+            write_wav(ref_dir / f"{key}_src{k}.wav", srcs[k])
+        if not args.skip_oracle:
+            oracle.append(irm_oracle_si_snri(mix, srcs))
+
+    config = {
+        "sampling_rate": 16000,
+        "separation": {"batch_size": 32, "eval_win": 2.4, "eval_hop": 0.8,
+                       "frame_length": 512, "frame_shift": 256},
+        "stitching": {"eval_win": 2.4, "eval_hop": 0.8, "hop_size": 256},
+        "beamforming": {"type": args.beamformer, "hop_size": 256,
+                        "n_fft": 512, "eval_hop": 0.8, "eval_win": 2.4,
+                        "proceed_margin": 2, "wta_thresh": 1e-4},
+    }
+    cfg_path = work / "config.yaml"
+    import yaml
+
+    cfg_path.write_text(yaml.safe_dump(config))
+
+    separate_cli.main([
+        "--config", str(cfg_path), "--checkpoint", args.checkpoint,
+        "--model", args.model, "--corpus-dir", str(mix_dir),
+        "--out-dir", str(out_dir)])
+    results_path = work / "results.jsonl"
+    evaluate_cli.main([
+        "--estimates", str(out_dir), "--references", str(ref_dir),
+        "--mixtures", str(mix_dir), "--output", str(results_path)])
+
+    lines = [json.loads(l) for l in open(results_path)]
+    summary = lines[-1]
+    if oracle:
+        summary["irm_oracle_si_snri_db"] = float(np.mean(oracle))
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
