@@ -1,18 +1,24 @@
-"""Benchmark: chunked-inference throughput of the flagship model on TPU.
+"""Benchmark: chunked-inference + training throughput on TPU.
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "audio_sec/s/chip", "vs_baseline": N}
+  {"metric": "...", "value": N, "unit": "audio_sec/s/chip",
+   "vs_baseline": N, "extras": [{"metric": "train_step_throughput", ...}]}
 
-Measured quantity: real-time audio seconds advanced per wall second per
+Primary metric: real-time audio seconds advanced per wall second per
 chip by the chunked continuous-separation forward path (on-device STFT
 feature extraction + Conformer-large mask estimation, bf16 compute) on
 2.4 s windows with 0.8 s hop — the hot path of
 css/executor/separator.py:63-111.
 
-Baseline: the same forward on the reference PyTorch implementation
-(css/models/conformer.py defaults), CPU fp32 @ 4 threads, batch 32 =
-11.8 audio-sec/s (measured on this host; the reference publishes no
-numbers — BASELINE.md).
+Extras: training-step throughput of the SHIPPED ``Trainer.train_one_epoch``
+loop (async dispatch, device-staged batches) — Conformer-large, batch 32 x
+2.5 s windows, PIT-MSE + noise supervision, adam; the path `cli.train`
+actually runs.
+
+Baseline: the same inference forward on the reference PyTorch
+implementation (css/models/conformer.py defaults), CPU fp32 @ 4 threads,
+batch 32 = 11.8 audio-sec/s (measured on this host; the reference
+publishes no numbers — BASELINE.md).
 """
 
 from __future__ import annotations
@@ -91,12 +97,75 @@ def main():
     n_chips = max(jax.local_device_count(), 1)
     audio_sec = batch * iters * eval_hop
     value = audio_sec / dt / n_chips
+
+    extras = []
+    try:
+        extras.append(bench_train())
+    except Exception as e:  # never lose the primary metric
+        extras.append({"metric": "train_step_throughput", "error": str(e)})
+
     print(json.dumps({
         "metric": "chunked_inference_throughput",
         "value": round(value, 2),
         "unit": "audio_sec/s/chip",
         "vs_baseline": round(value / BASELINE_AUDIO_SEC_PER_S, 2),
+        "extras": extras,
     }))
+
+
+def bench_train():
+    """Throughput of the shipped Trainer.train_one_epoch loop.
+
+    Batches are device-staged once (the tunneled dev host's ~200 ms/batch
+    host->device transfer would otherwise swamp the 34 ms step; a real TPU
+    VM overlaps the PCIe copy via the async PrefetchLoader), then the REAL
+    epoch loop runs — per-step rng split, async dispatch, metric
+    accumulation — exactly as `cli.train` does.
+    """
+    import itertools
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from css_tpu.models.conformer import Conformer
+    from css_tpu.objectives.mse import MeanSquaredError
+    from css_tpu.trainer import LRSchedule, Trainer
+    from css_tpu.trainer.loop import training_rng
+
+    sr = 16000
+    win = int(2.5 * sr)
+    batch = 32
+    model = Conformer(compute_dtype=jnp.bfloat16)
+    trainer = Trainer(model, MeanSquaredError(noise_weight=0.3),
+                      LRSchedule(lr=1e-4, warmup=1000), optim="adam",
+                      weight_decay=1e-2, grad_thresh=5.0)
+    host = np.random.default_rng(0)
+    dev = jax.devices()[0]
+    staged = [
+        jax.device_put(
+            {"mix": host.standard_normal((batch, win)).astype(np.float32) * 0.1,
+             "source1": host.standard_normal((batch, win)).astype(np.float32) * 0.05,
+             "source2": host.standard_normal((batch, win)).astype(np.float32) * 0.05},
+            dev)
+        for _ in range(4)
+    ]
+    rng = training_rng(0)
+    state = trainer.init_state(rng, staged[0])
+    loader = itertools.cycle(staged)
+    # warmup/compile
+    state, _ = trainer.train_one_epoch(state, loader, 3, rng)
+    iters = 40
+    t0 = time.perf_counter()
+    state, _ = trainer.train_one_epoch(state, loader, iters, rng)
+    dt = time.perf_counter() - t0
+    n_chips = max(jax.local_device_count(), 1)
+    value = iters * batch * (win / sr) / dt / n_chips
+    return {
+        "metric": "train_step_throughput",
+        "value": round(value, 2),
+        "unit": "audio_sec/s/chip",
+        "ms_per_step": round(dt / iters * 1e3, 2),
+    }
 
 
 if __name__ == "__main__":
