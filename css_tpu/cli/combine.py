@@ -9,7 +9,6 @@ inputs.
 from __future__ import annotations
 
 import argparse
-import os
 from pathlib import Path
 
 from css_tpu.trainer import checkpoint
@@ -29,12 +28,7 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     merged = checkpoint.average_checkpoints(args.models)
-    import pickle
-
-    tmp = args.output + ".tmp"
-    with open(tmp, "wb") as f:
-        pickle.dump(merged, f, protocol=pickle.HIGHEST_PROTOCOL)
-    os.replace(tmp, args.output)
+    checkpoint.save_checkpoint_dict(args.output, merged)
     survivors = [m for m in args.models if Path(m).exists()]
     log.info("Averaged %d/%d checkpoints -> %s", len(survivors),
              len(args.models), args.output)

@@ -11,9 +11,8 @@ reference's separate ONNX-export step.
 from __future__ import annotations
 
 import argparse
-import os
-import pickle
 
+from css_tpu.trainer.checkpoint import save_checkpoint_dict
 from css_tpu.utils.logging import get_logger
 
 log = get_logger(__name__)
@@ -61,10 +60,7 @@ def main(argv=None):
         "loss": float(ckpt.get("loss", 0.0)) if isinstance(ckpt, dict) else 0.0,
         "conf": {"imported_from": args.input, "model": args.model},
     }
-    tmp = args.output + ".tmp"
-    with open(tmp, "wb") as f:
-        pickle.dump(out, f, protocol=pickle.HIGHEST_PROTOCOL)
-    os.replace(tmp, args.output)
+    save_checkpoint_dict(args.output, out)
     log.info("Imported %s (%s) -> %s", args.input, args.model, args.output)
 
 

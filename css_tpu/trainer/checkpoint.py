@@ -1,7 +1,12 @@
 """Checkpointing: save/resume/warm-start, averaging, GC.
 
-Numpy-pytree pickles replacing the reference's torch ``.mdl`` pickles
-(train.py:304-317). A checkpoint carries
+Checkpoints are **npz pytree archives** (SURVEY.md §5 plan) replacing the
+reference's torch ``.mdl`` pickles (train.py:304-317): a zip of plain
+``.npy`` arrays (``params/<path>``, ``batch_stats/<path>``,
+``opt_state/<i>``) plus a JSON ``__meta__`` record — safe to share (no
+arbitrary code execution on load), stable across refactors (no class
+imports), and loadable with nothing but numpy. Legacy pickle checkpoints
+remain readable (format sniffed from the file magic). A checkpoint carries
 {params, batch_stats, opt_state, step, epoch, loss, conf} — the same five
 restorable pieces as the reference (model/objective/optimizer/lr_sched/
 epoch; our schedule is a pure function of step so it needs no state).
@@ -15,6 +20,8 @@ the last job's scalars).
 
 from __future__ import annotations
 
+import io
+import json
 import os
 import pickle
 import re
@@ -27,6 +34,73 @@ import numpy as np
 
 def _to_numpy(tree):
     return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def _flatten_dict(tree, prefix=""):
+    """Nested dict of arrays -> {'a/b/c': array} (flax param layout)."""
+    out = {}
+    for k, v in tree.items():
+        key = f"{prefix}{k}"
+        if isinstance(v, dict):
+            out.update(_flatten_dict(v, key + "/"))
+        else:
+            out[key] = v
+    return out
+
+
+def _unflatten_dict(flat: Dict[str, np.ndarray]) -> dict:
+    out: dict = {}
+    for key, v in flat.items():
+        node = out
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return out
+
+
+def _npz_encode(arr: np.ndarray, dtypes: Dict[str, str], key: str):
+    """np.save can't serialize extension dtypes (bfloat16); store their raw
+    bits and record the dtype for decode."""
+    if arr.dtype.kind == "V" or arr.dtype.name not in np.sctypeDict:
+        dtypes[key] = arr.dtype.name
+        return arr.view(np.uint8 if arr.dtype.itemsize == 1 else np.uint16)
+    return arr
+
+
+def _npz_decode(arr: np.ndarray, dtype_name: Optional[str]):
+    if dtype_name is None:
+        return arr
+    import ml_dtypes
+
+    return arr.view(np.dtype(getattr(ml_dtypes, dtype_name)))
+
+
+def save_checkpoint_dict(path: str, ckpt: Dict[str, Any]):
+    """Write a checkpoint dict as an npz pytree archive (atomic)."""
+    arrays: Dict[str, np.ndarray] = {}
+    dtypes: Dict[str, str] = {}
+    meta: Dict[str, Any] = {"format": 1}
+    for key, value in ckpt.items():
+        if key in ("params", "batch_stats"):
+            for p, leaf in _flatten_dict(_to_numpy(value)).items():
+                k = f"{key}/{p}"
+                arrays[k] = _npz_encode(np.asarray(leaf), dtypes, k)
+        elif key == "opt_state":
+            for i, leaf in enumerate(jax.tree.leaves(value)):
+                k = f"opt_state/{i:05d}"
+                arrays[k] = _npz_encode(np.asarray(leaf), dtypes, k)
+        else:  # scalars / conf / extras — must be JSON-serializable
+            meta[key] = value
+    meta["dtypes"] = dtypes
+    arrays["__meta__"] = np.frombuffer(
+        json.dumps(meta, default=str).encode(), np.uint8)
+    buf = io.BytesIO()
+    np.savez(buf, **arrays)
+    tmp = str(path) + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(buf.getvalue())
+    os.replace(tmp, path)
 
 
 def save_checkpoint(path: str, state, epoch: int, loss: float,
@@ -42,15 +116,39 @@ def save_checkpoint(path: str, state, epoch: int, loss: float,
     }
     if extra:
         ckpt.update(extra)
-    tmp = str(path) + ".tmp"
-    with open(tmp, "wb") as f:
-        pickle.dump(ckpt, f, protocol=pickle.HIGHEST_PROTOCOL)
-    os.replace(tmp, path)
+    save_checkpoint_dict(path, ckpt)
 
 
 def load_checkpoint(path: str) -> Dict[str, Any]:
+    """Load an npz checkpoint (or a legacy round-1 pickle, sniffed by
+    magic). Returns {params: nested dict, batch_stats: nested dict,
+    opt_state: [leaves...], step, epoch, loss, conf, ...}."""
     with open(path, "rb") as f:
-        return pickle.load(f)
+        magic = f.read(2)
+    if magic != b"PK":  # legacy pickle checkpoint
+        with open(path, "rb") as f:
+            return pickle.load(f)
+    with np.load(path) as z:
+        meta = json.loads(bytes(z["__meta__"]).decode())
+        dtypes = meta.pop("dtypes", {})
+        meta.pop("format", None)
+        ckpt: Dict[str, Any] = dict(meta)
+        sections: Dict[str, Dict[str, np.ndarray]] = {"params": {},
+                                                      "batch_stats": {}}
+        opt: Dict[str, np.ndarray] = {}
+        for key in z.files:
+            if key == "__meta__":
+                continue
+            section, _, rest = key.partition("/")
+            arr = _npz_decode(z[key], dtypes.get(key))
+            if section in sections:
+                sections[section][rest] = arr
+            elif section == "opt_state":
+                opt[rest] = arr
+        ckpt["params"] = _unflatten_dict(sections["params"])
+        ckpt["batch_stats"] = _unflatten_dict(sections["batch_stats"])
+        ckpt["opt_state"] = [opt[k] for k in sorted(opt)]
+    return ckpt
 
 
 def restore_state(ckpt: Dict[str, Any], state):
@@ -105,6 +203,10 @@ def average_checkpoints(paths: Sequence[str]) -> Dict[str, Any]:
         raise FileNotFoundError(f"no checkpoints among {paths}")
     frac = 1.0 / len(existing)  # renormalized over survivors
     ckpts = [load_checkpoint(p) for p in existing]
+    # normalize opt_state to a flat leaves list so npz and legacy-pickle
+    # checkpoints (optax pytrees) can be averaged together
+    for c in ckpts:
+        c["opt_state"] = list(jax.tree.leaves(c.get("opt_state", [])))
 
     def avg(*leaves):
         first = leaves[0]

@@ -1,7 +1,7 @@
 """End-to-end CLI flows: train -> combine -> separate on synthetic data."""
 
 import json
-import pickle
+from css_tpu.trainer.checkpoint import load_checkpoint
 
 import numpy as np
 import pytest
@@ -36,8 +36,7 @@ def test_train_cli_and_separate_cli(tmp_path):
                   str(expdir / "1.2.mdl"), str(expdir / "1.3.mdl"),
                   "--save-models"])
     assert merged.exists()
-    with open(merged, "rb") as f:
-        ck = pickle.load(f)
+    ck = load_checkpoint(merged)
     assert "params" in ck
 
     # resume from the merged checkpoint

@@ -1,6 +1,6 @@
 """Round-trip: reference torch .mdl -> css_tpu checkpoint -> forward parity."""
 
-import pickle
+from css_tpu.trainer.checkpoint import load_checkpoint
 import sys
 
 import numpy as np
@@ -29,8 +29,7 @@ def test_import_reference_blstm_checkpoint(tmp_path):
     dst = tmp_path / "imported.mdl"
     import_torch.main([str(src), str(dst), "--model", "BLSTM",
                        "--num-layers", "1"])
-    with open(dst, "rb") as f:
-        ckpt = pickle.load(f)
+    ckpt = load_checkpoint(dst)
     assert ckpt["epoch"] == 7
 
     model = BLSTM(idim=33, num_bins=33, hidden_dim=16, num_layers=1,
