@@ -80,7 +80,13 @@ def parse_arguments(argv=None):
     parser.add_argument("--keep-every", type=int, default=20)
     parser.add_argument("--keep-last", type=int, default=2)
     parser.add_argument("--multihost", action="store_true",
-                        help="call jax.distributed.initialize()")
+                        help="initialize multi-process jax (auto-detected "
+                             "topology on TPU pods; else pass --coordinator "
+                             "--num-processes --process-id)")
+    parser.add_argument("--coordinator", default=None,
+                        help="host:port of process 0 (non-pod clusters)")
+    parser.add_argument("--num-processes", type=int, default=None)
+    parser.add_argument("--process-id", type=int, default=None)
     parser.add_argument("--profile-dir", default=None,
                         help="capture a jax.profiler trace of epoch 1 here")
     parser.add_argument("--keep-best", action="store_true",
@@ -90,12 +96,20 @@ def parse_arguments(argv=None):
                         help="validation batches per epoch (iteration_types.py:71 uses 100)")
     parser.add_argument("--num-workers", type=int, default=2,
                         help="producer threads for mixture synthesis")
+    parser.add_argument("--platform", default=None,
+                        help="pin the jax backend (e.g. cpu, tpu) — "
+                             "overrides environment platform plugins")
     parser.add_argument("--prng-impl", default="rbg",
                         choices=["rbg", "threefry2x32"],
                         help="dropout PRNG; rbg is much faster on TPU")
     parser.add_argument("--debug-nans", action="store_true",
                         help="enable jax_debug_nans (fail fast at the op "
                              "that produced a non-finite value)")
+    parser.add_argument("--fail-after-batches", type=int, default=None,
+                        help="chaos-engineering hook: crash this process "
+                             "abruptly (no checkpoint, exit 17) after N "
+                             "batches — exercises the train_parallel "
+                             "driver's failure detection")
 
     # two-phase parsing: component flags (train.py:96-101)
     args, leftover = parser.parse_known_args(argv)
@@ -128,13 +142,24 @@ def main(argv=None):
 
     enable_compilation_cache()
     args = parse_arguments(argv)
+    if args.platform:
+        # before any backend use; env vars alone are not enough when a
+        # sitecustomize platform plugin pins JAX_PLATFORMS at startup
+        jax.config.update("jax_platforms", args.platform)
     expdir = Path(args.expdir)
     expdir.mkdir(parents=True, exist_ok=True)
 
     if args.multihost:
-        jax.distributed.initialize()
+        from css_tpu.parallel.launch import initialize
+
+        initialize(args.coordinator, args.num_processes, args.process_id)
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
+    # multi-process: process 0 owns all filesystem writes (conf JSON,
+    # checkpoints, metrics); other processes only feed their data shard
+    # and participate in collectives
+    is_lead = jax.process_index() == 0
+    n_proc = jax.process_count()
 
     np.random.seed(args.seed)
 
@@ -144,10 +169,20 @@ def main(argv=None):
     else:
         conf = vars(args).copy()
         conf["epoch"] = 0
-        json.dump(conf, open(conf_path, "w"), indent=4, default=str)
+        if is_lead:
+            json.dump(conf, open(conf_path, "w"), indent=4, default=str)
 
     corpus, dev_corpus = build_corpus(args)
     conf["seed"] = args.seed + 1000 * args.job
+    if n_proc > 1:
+        # per-process data feeding: disjoint mixture streams per process,
+        # each synthesizing only its local share of the global batch
+        conf["seed"] += 7919 * jax.process_index()
+        if args.strategy in ("dp", "replica_avg"):
+            if args.batch_size % n_proc:
+                raise SystemExit(f"--batch-size {args.batch_size} must be "
+                                 f"divisible by {n_proc} processes")
+            conf["batch_size"] = args.batch_size // n_proc
     if args.synthetic_rirs:
         conf["rir_pool"] = synthetic_rir_pool()
         conf["noise_pool"] = synthetic_noise_pool()
@@ -157,12 +192,22 @@ def main(argv=None):
         dataset = PrefetchLoader(
             factory=lambda i: build_dataset(
                 args.dataset, corpus, {**conf, "seed": conf["seed"] + 7 * i}),
-            num_threads=args.num_workers)
+            num_threads=args.num_workers,
+            # stage batches on device ahead of the step (async transfer
+            # overlaps with compute); dp/replica_avg shard on their own
+            device=(jax.devices()[0] if args.strategy == "single" else None))
     else:
         dataset = build_dataset(args.dataset, corpus, conf)
     dev_dataset = (build_dataset(args.dataset, dev_corpus,
                                  {**conf, "seed": 12345})
                    if dev_corpus else None)
+    if args.fail_after_batches is not None:
+        def _crashing(it, n=args.fail_after_batches):
+            for i, b in enumerate(it):
+                if i >= n:
+                    os._exit(17)  # abrupt death mid-epoch, like SIGKILL
+                yield b
+        dataset = _crashing(iter(dataset))
 
     conf["bf16"] = args.bf16
     model = MODELS[args.model].build_model(conf)
@@ -225,11 +270,11 @@ def main(argv=None):
         log.info("Warm-started from %s (replace_output=%s)", args.init,
                  args.replace_output)
 
-    metrics_log = MetricsLogger(expdir / f"train.{args.job}.jsonl",
-                                echo_every=50)
+    metrics_log = (MetricsLogger(expdir / f"train.{args.job}.jsonl",
+                                 echo_every=50) if is_lead else None)
     best_val = float("inf")
     profiling = False
-    if args.profile_dir:
+    if args.profile_dir and is_lead:
         jax.profiler.start_trace(args.profile_dir)
         profiling = True
     for e in range(start_epoch, start_epoch + args.num_epochs):
@@ -247,28 +292,33 @@ def main(argv=None):
             alive = np.zeros(strategy.num_replicas, bool)
             alive[:nj] = True
             it = iter(dataset)
-            total = 0.0
+            losses = []
             for i in range(args.batches_per_epoch):
                 batch = next(it)
                 batch.pop("ovl", None); batch.pop("lens", None)
                 rng, step_rng = jax.random.split(rng)
                 state, m = strategy.train_step(state, batch, step_rng)
-                total += float(np.mean(np.asarray(m["loss"])[:nj]))
+                losses.append(m["loss"])  # device array, no per-step sync
             state = strategy.average(state, alive=alive)
-            avg_loss = total / args.batches_per_epoch
+            avg_loss = float(jax.numpy.mean(
+                jax.numpy.stack(losses)[:, :nj]))
         elif args.strategy == "dp":
             it = iter(dataset)
-            total = 0.0
+            losses = []
             for i in range(args.batches_per_epoch):
                 batch = next(it)
                 batch.pop("ovl", None); batch.pop("lens", None)
                 rng, step_rng = jax.random.split(rng)
                 state, m = strategy.train_step(state, batch, step_rng)
-                total += float(m["loss"])
-            avg_loss = total / args.batches_per_epoch
+                losses.append(m["loss"])  # device scalar, no per-step sync
+            avg_loss = float(jax.numpy.mean(jax.numpy.stack(losses)))
         else:
+            # advance the root key per epoch — train_one_epoch splits a local
+            # copy, so reusing `rng` would replay the identical per-step
+            # dropout sequence every epoch
+            rng, epoch_rng = jax.random.split(rng)
             state, avg_loss = trainer.train_one_epoch(
-                state, dataset, args.batches_per_epoch, rng, metrics_log)
+                state, dataset, args.batches_per_epoch, epoch_rng, metrics_log)
 
         val = None
         if dev_dataset is not None:
@@ -278,7 +328,8 @@ def main(argv=None):
                                    num_batches=args.validate_batches)
             log.info("Epoch %d :: train loss %.5f valid loss %.5f",
                      e + 1, avg_loss, val)
-            if args.keep_best and np.isfinite(val) and val < best_val:
+            if (args.keep_best and is_lead and np.isfinite(val)
+                    and val < best_val):
                 best_val = val
                 checkpoint.save_checkpoint(
                     expdir / f"best.{args.job}.mdl", val_state,
@@ -296,7 +347,8 @@ def main(argv=None):
             profiling = False
             log.info("Profiler trace written to %s", args.profile_dir)
 
-        if not np.isnan(avg_loss):  # NaN epochs not checkpointed (train.py:313)
+        if is_lead and not np.isnan(avg_loss):
+            # NaN epochs not checkpointed (train.py:313)
             save_state = (strategy.replica_state(state)
                           if args.strategy == "replica_avg" else state)
             checkpoint.save_checkpoint(
@@ -306,7 +358,8 @@ def main(argv=None):
                       if isinstance(v, (str, int, float, bool, type(None)))})
             checkpoint.gc_checkpoints(expdir, keep_every=args.keep_every,
                                       keep_last=args.keep_last, job=args.job)
-    metrics_log.close()
+    if metrics_log is not None:
+        metrics_log.close()
     log.info("Done.")
 
 

@@ -19,7 +19,15 @@ Two modes, per SURVEY.md §2.4:
   replica mask.
 
 Multi-host: call ``jax.distributed.initialize()`` before building the mesh
-and these classes work unchanged — jax addresses all devices globally.
+(or use ``css_tpu.parallel.launch``). Parameters/optimizer state are built
+identically on every process from the same PRNG key and placed with
+``global_put`` (each process contributes its addressable shards); batches
+are fed PER PROCESS — each process passes its LOCAL slice of the global
+batch (leading dim = global_batch / process_count) and ``shard_batch``
+assembles the global Array via ``jax.make_array_from_process_local_data``.
+Correctness is asserted by ``tests/test_multihost.py``, which spawns real
+multi-process jax on the CPU backend and checks DP loss/params match
+single-process training bit-for-bit.
 """
 
 from __future__ import annotations
@@ -31,8 +39,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from css_tpu.parallel.mesh import (batch_sharding, make_mesh, replicate,
-                                   shard_params)
+from css_tpu.parallel.mesh import (batch_sharding, global_put, make_mesh,
+                                   replicate, shard_params)
 from css_tpu.trainer.loop import TrainState, Trainer
 
 
@@ -55,16 +63,30 @@ class DataParallel:
             opt_state = self.trainer.tx.init(params)
             state = state.replace(
                 params=params, opt_state=opt_state,
-                batch_stats=jax.device_put(state.batch_stats,
-                                           replicate(self.mesh)),
-                step=jax.device_put(state.step, replicate(self.mesh)))
+                batch_stats=global_put(state.batch_stats,
+                                       replicate(self.mesh)),
+                step=global_put(state.step, replicate(self.mesh)))
         else:
-            state = jax.device_put(state, replicate(self.mesh))
+            state = global_put(state, replicate(self.mesh))
         return state
 
     def shard_batch(self, batch):
+        """Place a batch on the mesh, sharded over the data axis.
+
+        Single process: ``batch`` is the global batch. Multi-process:
+        ``batch`` is this process's LOCAL shard (leading dim =
+        global_batch / process_count) — the per-process data-feeding
+        pattern (each host synthesizes/loads only its own slice).
+        """
         data = batch_sharding(self.mesh)
         repl = replicate(self.mesh)
+        if jax.process_count() > 1:
+            def put(x):
+                x = np.asarray(x)
+                if x.ndim >= 1:
+                    return jax.make_array_from_process_local_data(data, x)
+                return global_put(x, repl)
+            return jax.tree.map(put, batch)
         return jax.tree.map(
             lambda x: jax.device_put(x, data if np.ndim(x) >= 1 else repl),
             batch)
@@ -98,18 +120,30 @@ class ReplicaAveraging:
         states = [self.trainer.init_state(rngs[j], example_batch)
                   for j in range(self.num_replicas)]
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
-        return jax.device_put(stacked, self.replica_sharding)
+        return global_put(stacked, self.replica_sharding)
 
     def shard_batch(self, batch):
-        """batch leaves (J*B, ...) -> (J, B, ...) sharded over replicas."""
+        """batch leaves (J*B, ...) -> (J, B, ...) sharded over replicas.
+
+        Multi-process: pass the LOCAL replicas' batch (leading dim =
+        J_local * B) — assembled per process like DataParallel.shard_batch.
+        """
+        j = self.num_replicas
+        if jax.process_count() > 1:
+            j = j // jax.process_count()
+
         def reshape(x):
-            x = jnp.asarray(x)
+            x = np.asarray(x)
             if x.ndim == 0:  # per-batch scalars (ovl) -> broadcast
-                return jnp.broadcast_to(x, (self.num_replicas,))
-            return x.reshape(self.num_replicas, x.shape[0] // self.num_replicas,
-                             *x.shape[1:])
-        return jax.device_put(jax.tree.map(reshape, batch),
-                              self.replica_sharding)
+                return np.broadcast_to(x, (j,))
+            return x.reshape(j, x.shape[0] // j, *x.shape[1:])
+
+        reshaped = jax.tree.map(reshape, batch)
+        if jax.process_count() > 1:
+            return jax.tree.map(
+                lambda x: jax.make_array_from_process_local_data(
+                    self.replica_sharding, x), reshaped)
+        return jax.device_put(reshaped, self.replica_sharding)
 
     def train_step(self, state, batch, rng):
         rngs = jax.random.split(rng, self.num_replicas)

@@ -39,6 +39,31 @@ def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def global_put(tree, sharding):
+    """``device_put`` that also works under multi-process (multi-host) jax.
+
+    Single process: plain ``jax.device_put``. Multi-process: every process
+    must hold the FULL (host-global) value of each leaf — e.g. states built
+    from the same PRNG key on every process — and contributes the shards
+    its local devices own (``jax.make_array_from_callback``). This is the
+    multi-host pattern ``jax.device_put`` of host-local numpy cannot
+    express (it cannot address remote devices).
+
+    ``sharding`` is a single Sharding applied to every leaf, or a pytree of
+    shardings matching ``tree``.
+    """
+    def put(x, sh):
+        if jax.process_count() == 1:
+            return jax.device_put(x, sh)
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, sh,
+                                            lambda idx: x[idx])
+
+    if isinstance(sharding, jax.sharding.Sharding):
+        return jax.tree.map(lambda x: put(x, sharding), tree)
+    return jax.tree.map(put, tree, sharding)
+
+
 # --------------------------------------------------------------------- TP
 # Conformer tensor-parallel layout: FFN is a classic column->row parallel
 # pair (w1 kernel sharded on its output dim, w2 on its input dim); the
@@ -79,6 +104,6 @@ def shard_params(params, mesh: Mesh, spec_tree=None):
     (replicated where the tree is None/P())."""
     if spec_tree is None:
         spec_tree = jax.tree.map(lambda _: P(), params)
-    return jax.tree.map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
-        params, spec_tree)
+    return global_put(
+        params, jax.tree.map(lambda s: NamedSharding(mesh, s), spec_tree,
+                             is_leaf=lambda s: isinstance(s, P)))
