@@ -64,6 +64,13 @@ def main(argv=None):
     parser.add_argument("--session", default=None,
                         help="only process recordings matching this "
                              "substring (per-session sharding)")
+    parser.add_argument("--streaming", action="store_true",
+                        help="use the incremental streaming executor "
+                             "(bounded-latency; output matches offline "
+                             "within float tolerance, modulo the global "
+                             "peak normalization a causal system cannot do)")
+    parser.add_argument("--push-sec", type=float, default=0.8,
+                        help="streaming push granularity in seconds")
     args = parser.parse_args(argv)
 
     config = yaml.safe_load(open(args.config))
@@ -80,7 +87,27 @@ def main(argv=None):
     for key, path in iter_recordings(args):
         wav, sr = read_wav(path)
         log.info("Separating %s (%.1fs)", key, np.shape(wav)[-1] / sr)
-        pipe.process_recording(key, wav, args.out_dir)
+        if args.streaming:
+            from pathlib import Path as _P
+
+            from css_tpu.data.corpus import write_wav
+            from css_tpu.executor.streaming import StreamingCssPipeline
+
+            stream = StreamingCssPipeline(model, variables, config)
+            push = int(args.push_sec * pipe.sr)
+            wav2 = np.atleast_2d(np.asarray(wav, np.float32))
+            outs = [stream.push(wav2[:, i : i + push])
+                    for i in range(0, wav2.shape[-1], push)]
+            outs.append(stream.flush())
+            full = np.concatenate(outs, axis=-1)
+            out_dir = _P(args.out_dir)
+            out_dir.mkdir(parents=True, exist_ok=True)
+            for i in range(full.shape[0]):
+                o = full[i]
+                write_wav(out_dir / f"{key}_{i}.wav",
+                          o * 0.9 / max(np.abs(o).max(), 1e-12), pipe.sr)
+        else:
+            pipe.process_recording(key, wav, args.out_dir)
         total_audio += np.shape(wav)[-1] / sr
     dt = time.perf_counter() - t0
     if total_audio:

@@ -1,0 +1,105 @@
+"""Streaming executor == offline pipeline (VERDICT r1 item 8).
+
+Feeds a recording to StreamingCssPipeline in small pushes and checks the
+incrementally emitted audio matches CssPipeline.process (same model, same
+config) within float tolerance. Also checks emission is actually
+incremental (audio arrives before the end of input) and K=3 generality.
+"""
+
+import numpy as np
+
+import jax
+
+from css_tpu.data import SyntheticCorpus
+from css_tpu.executor.pipeline import CssPipeline
+from css_tpu.executor.streaming import StreamingCssPipeline
+from css_tpu.models.blstm import BLSTM
+
+
+def make_config(num_spk=2):
+    return {
+        "sampling_rate": 16000,
+        "separation": {"batch_size": 8, "eval_win": 2.4, "eval_hop": 0.8,
+                       "frame_length": 512, "frame_shift": 256,
+                       "num_spk": num_spk},
+        "stitching": {"eval_win": 2.4, "eval_hop": 0.8, "hop_size": 256},
+        "beamforming": {"type": "masking", "hop_size": 256, "n_fft": 512,
+                        "eval_hop": 0.8, "eval_win": 2.4,
+                        "proceed_margin": 2, "wta_thresh": 1e-4},
+    }
+
+
+def make_model(num_spk=2):
+    model = BLSTM(idim=257, num_bins=257, hidden_dim=32, num_layers=1,
+                  dropout_rate=0.0, num_spk=num_spk)
+    rng = jax.random.PRNGKey(0)
+    feats = np.zeros((1, 10, 257), np.float32)
+    variables = model.init({"params": rng}, feats, train=False)
+    return model, variables
+
+
+def make_mix(seconds=8.0, seed=0):
+    corpus = SyntheticCorpus(num_speakers=4, utts_per_speaker=2, seed=seed)
+    n = int(seconds * 16000)
+    u1 = np.tile(corpus.by_speaker["spk0"][0].load(), 4)[:n]
+    u2 = np.tile(corpus.by_speaker["spk2"][0].load(), 4)[:n]
+    return (u1 + u2).astype(np.float32)
+
+
+def test_streaming_matches_offline():
+    model, variables = make_model()
+    config = make_config()
+    mix = make_mix()
+
+    offline = CssPipeline(model, variables, config)
+    off_outs = offline.process(mix)  # peak-normalized per stream
+
+    stream = StreamingCssPipeline(model, variables, config)
+    chunks = []
+    emitted_before_end = 0
+    push_size = 4000  # 0.25 s pushes
+    for i in range(0, len(mix), push_size):
+        out = stream.push(mix[i : i + push_size])
+        if i + push_size < len(mix) * 0.8:
+            emitted_before_end += out.shape[-1]
+        chunks.append(out)
+    chunks.append(stream.flush())
+    got = np.concatenate(chunks, axis=-1)
+
+    assert got.shape == (2, len(mix))
+    assert emitted_before_end > 0, "no incremental emission before the end"
+
+    # match offline — peak normalization is a per-stream scale, so
+    # normalizing the streamed output the same way makes them comparable
+    for s in range(2):
+        ref_n = off_outs[s]
+        got_n = got[s] * 0.9 / max(np.abs(got[s]).max(), 1e-12)
+        err = np.abs(got_n - ref_n).max()
+        assert err < 5e-3, f"stream {s}: max deviation {err}"
+
+
+def test_streaming_three_speakers():
+    model, variables = make_model(num_spk=3)
+    config = make_config(num_spk=3)
+    mix = make_mix(seconds=5.0, seed=1)
+    stream = StreamingCssPipeline(model, variables, config)
+    out1 = stream.push(mix)
+    out2 = stream.flush()
+    got = np.concatenate([out1, out2], axis=-1)
+    assert got.shape == (3, len(mix))
+    assert np.isfinite(got).all()
+
+
+def test_short_recording_single_window():
+    model, variables = make_model()
+    config = make_config()
+    mix = make_mix(seconds=1.5)
+    stream = StreamingCssPipeline(model, variables, config)
+    got = np.concatenate([stream.push(mix), stream.flush()], axis=-1)
+    offline = CssPipeline(model, variables, config)
+    off = offline.process(mix)
+    assert got.shape == (2, len(mix))
+    for s in range(2):
+        ref_n = off[s]
+        got_n = got[s] * 0.9 / max(np.abs(got[s]).max(), 1e-12)
+        assert np.abs(got_n - ref_n).max() < 5e-3
