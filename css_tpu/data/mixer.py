@@ -152,10 +152,10 @@ class MixtureSynthesizer:
                                      base.duration - o / self.sr)
             num_windows = int(mix_end_t / window_size)
             usable = num_windows * win
-            if self._use_native and k_spk == 2:
-                mixw, s1w, s2w = native.mix_and_window(
-                    waves[0], waves[1], offs[1], win, num_windows)
-                src_windows = [s1w, s2w]
+            if self._use_native:
+                mixw, srcs_arr = native.mix_and_window_k(
+                    waves, offs, win, num_windows)
+                src_windows = [srcs_arr[i] for i in range(k_spk)]
             else:
                 length = max(mix_len, usable)
                 padded = []

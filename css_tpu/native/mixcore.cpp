@@ -18,6 +18,7 @@
 // ctypes releases the GIL for the duration of each call, so multiple
 // python producer threads scale.
 
+#include <algorithm>
 #include <cmath>
 #include <complex>
 #include <cstdint>
@@ -82,6 +83,35 @@ void mix_and_window(const float* w1, int64_t n1, const float* w2, int64_t n2,
     s1_out[t] = a;
     s2_out[t] = b;
     mix_out[t] = a + b;
+  }
+}
+
+// K-speaker generalization: `waves` holds the K utterances concatenated
+// (lengths in `lens`), each placed at sample offset `offs[i]` of the
+// mixture timeline. Emits mix (num_windows, win) and the K padded
+// sources stacked as (K, num_windows, win), all row-major float32.
+void mix_and_window_k(const float* waves, const int64_t* lens,
+                      const int64_t* offs, int64_t k, int64_t win,
+                      int64_t num_windows, float* mix_out, float* src_out) {
+  const int64_t total = num_windows * win;
+  std::memset(mix_out, 0, size_t(total) * sizeof(float));
+  const float* w = waves;
+  float* s = src_out;
+  for (int64_t i = 0; i < k; ++i) {
+    const int64_t o = offs[i], n = lens[i];
+    const int64_t lo = std::min(std::max<int64_t>(o, 0), total);
+    const int64_t hi = std::min(o + n, total);
+    std::memset(s, 0, size_t(lo) * sizeof(float));
+    for (int64_t t = lo; t < hi; ++t) {
+      const float v = w[t - o];
+      s[t] = v;
+      mix_out[t] += v;
+    }
+    if (hi < total)
+      std::memset(s + std::max<int64_t>(hi, 0), 0,
+                  size_t(total - std::max<int64_t>(hi, 0)) * sizeof(float));
+    w += n;
+    s += total;
   }
 }
 
@@ -164,6 +194,6 @@ void add_noise_snr(float* wav, int64_t n, const float* noise, int64_t nn,
   for (int64_t i = 0; i < n; ++i) wav[i] += scale * noise[(start + i) % nn];
 }
 
-int32_t mixcore_abi_version() { return 2; }
+int32_t mixcore_abi_version() { return 3; }
 
 }  // extern "C"

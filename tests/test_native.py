@@ -74,3 +74,34 @@ def test_mixer_native_vs_numpy_paths_identical():
     np.testing.assert_allclose(a["mix"], b["mix"], atol=1e-6)
     np.testing.assert_allclose(a["source1"], b["source1"], atol=1e-6)
     np.testing.assert_allclose(a["source2"], b["source2"], atol=1e-6)
+
+
+def test_mix_and_window_k_matches_numpy():
+    rng = np.random.default_rng(5)
+    waves = [rng.standard_normal(n).astype(np.float32)
+             for n in (50000, 30000, 20000)]
+    offs = [0, 12345, 23456]
+    win, num = 16000, 3
+    mix, srcs = native.mix_and_window_k(waves, offs, win, num)
+    total = num * win
+    pads = []
+    for o, w in zip(offs, waves):
+        s = np.zeros(max(total, o + len(w)), np.float32)
+        s[o : o + len(w)] = w
+        pads.append(s[:total])
+    np.testing.assert_array_equal(mix, np.sum(pads, 0).reshape(num, win))
+    for i in range(3):
+        np.testing.assert_array_equal(srcs[i], pads[i].reshape(num, win))
+
+
+def test_mixer_native_vs_numpy_three_speakers():
+    from css_tpu.data import SyntheticCorpus
+    from css_tpu.data.mixer import MixtureSynthesizer
+
+    c = SyntheticCorpus(num_speakers=5, utts_per_speaker=2)
+    a = next(MixtureSynthesizer(c, batch_size=6, seed=7, use_native=True,
+                                num_speakers=3))
+    b = next(MixtureSynthesizer(c, batch_size=6, seed=7, use_native=False,
+                                num_speakers=3))
+    for key in ("mix", "source1", "source2", "source3"):
+        np.testing.assert_allclose(a[key], b[key], atol=1e-6)

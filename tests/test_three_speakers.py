@@ -95,3 +95,25 @@ def test_three_speaker_pipeline_end_to_end(tmp_path):
     for i in range(3):
         assert outs[i].shape == wav.shape
         assert (tmp_path / f"rec3_{i}.wav").exists()
+
+    # ...and through the evaluate CLI, which discovers K=3 from the files
+    import json
+
+    from css_tpu.cli import evaluate
+    from css_tpu.data.corpus import write_wav
+
+    ref_dir = tmp_path / "refs"
+    mix_dir = tmp_path / "mixes"
+    ref_dir.mkdir()
+    mix_dir.mkdir()
+    for i in range(3):
+        write_wav(ref_dir / f"rec3_src{i}.wav",
+                  (rng.standard_normal(len(wav)) * 0.05).astype(np.float32))
+    write_wav(mix_dir / "rec3.wav", wav)
+    out_jsonl = tmp_path / "results.jsonl"
+    evaluate.main(["--estimates", str(tmp_path), "--references", str(ref_dir),
+                   "--mixtures", str(mix_dir), "--output", str(out_jsonl)])
+    recs = [json.loads(l) for l in open(out_jsonl)]
+    assert recs[0]["num_spk"] == 3
+    assert np.isfinite(recs[0]["si_snr_db"])
+    assert "si_snri_db" in recs[0]
