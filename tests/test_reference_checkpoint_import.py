@@ -1,0 +1,123 @@
+"""Import a GENUINE reference checkpoint (VERDICT r1 item 10).
+
+Trains the reference torch Conformer for a real epoch with the
+reference's own training loop (css/trainer/iteration_types.py:17-64,
+adam + grad clip + LR scheduler), saves the exact checkpoint dict layout
+of scripts/python/train.py:304-317 via torch.save, imports it with
+`cli.import_torch`, and asserts the masks served by the imported flax
+model match the reference torch forward — closing the last untested seam
+of the deployment story (reference-trained .mdl -> css_tpu serving).
+
+Note: the reference's MSE objective calls ``model(xs)`` and unpacks
+``y_pred.shape`` (css/objectives/mse.py:24-26) while the models return a
+``(y_pred, masks)`` tuple (conformer.py:104) — a latent bug in the
+reference; the training here wraps the model to return only ``y_pred``
+so the reference loop actually optimizes, then checkpoints the REAL
+inner module's state_dict.
+"""
+
+import sys
+import types
+
+import numpy as np
+import torch
+
+import jax.numpy as jnp
+
+sys.path.insert(0, "/root/reference")
+
+
+class _TupleFix(torch.nn.Module):
+    """Adapter for the reference objective's latent tuple bug."""
+
+    def __init__(self, inner):
+        super().__init__()
+        self.inner = inner
+
+    def forward(self, x):
+        return self.inner(x)[0]
+
+
+def test_import_reference_trained_mdl(tmp_path):
+    from css.models.conformer import Conformer as RefConformer
+    from css.objectives.mse import MeanSquaredError as RefMSE
+    from css.trainer.iteration_types import train_one_epoch
+    from css.trainer.lr_scheduler import LRScheduler as RefLRScheduler
+
+    from css_tpu.cli import import_torch
+    from css_tpu.models.conformer import Conformer
+    from css_tpu.trainer.checkpoint import load_checkpoint
+
+    torch.manual_seed(0)
+    conf = {
+        "attention_dim": 32, "attention_heads": 2, "linear_units": 48,
+        "num_blocks": 2, "kernel_size": 5, "dropout_rate": 0.0,
+        "relative_pos_emb": True,
+    }
+    nbins = 33
+    model = RefConformer(in_features=nbins, num_bins=nbins, num_spk=2,
+                         num_noise=1, conformer_conf=conf)
+    objective = RefMSE()
+    optimizer = torch.optim.Adam(model.parameters(), lr=1e-3,
+                                 weight_decay=1e-2)
+    args = types.SimpleNamespace(gpu=False, fp16=False,
+                                 batches_per_epoch=5, grad_thresh=5.0,
+                                 warmup=2, fixed=0, decay=0.0, min_lr=1e-9)
+    lr_sched = RefLRScheduler(optimizer, args)
+
+    rng = np.random.default_rng(0)
+
+    def batches():
+        while True:
+            yield {
+                "mix": torch.from_numpy(np.abs(
+                    rng.standard_normal((2, 20, nbins))).astype(np.float32)),
+                "source1": torch.from_numpy(np.abs(
+                    rng.standard_normal((2, 20, nbins))).astype(np.float32)),
+                "source2": torch.from_numpy(np.abs(
+                    rng.standard_normal((2, 20, nbins))).astype(np.float32)),
+                "ovl": 0.5,
+            }
+
+    # one real epoch of the reference training loop
+    wrapped = _TupleFix(model)
+    avg_loss = train_one_epoch(args, batches(), wrapped, objective,
+                               optimizer, lr_sched, device="cpu")
+
+    # the exact checkpoint dict train.py:304-317 writes
+    state_dict = {
+        "model": model.state_dict(),
+        "objective": objective.state_dict(),
+        "optimizer": optimizer.state_dict(),
+        "lr_sched": lr_sched.state_dict(),
+        "epoch": 1,
+        "loss": avg_loss,
+    }
+    src = tmp_path / "1.1.mdl"
+    torch.save(state_dict, src)
+
+    dst = tmp_path / "imported.mdl"
+    import_torch.main([str(src), str(dst), "--model", "Conformer",
+                       "--num-blocks", "2"])
+    ckpt = load_checkpoint(dst)
+    assert ckpt["epoch"] == 1
+
+    # served masks must match the reference torch forward
+    x = np.abs(rng.standard_normal((3, 24, nbins))).astype(np.float32)
+    model.eval()
+    with torch.no_grad():
+        y_ref, masks_ref = model(torch.from_numpy(x))
+    flax_model = Conformer(idim=nbins, num_bins=nbins, num_spk=2,
+                           num_noise=1, attention_dim=32, attention_heads=2,
+                           linear_units=48, num_blocks=2, kernel_size=5,
+                           dropout_rate=0.0)
+    variables = {"params": ckpt["params"]}
+    if ckpt.get("batch_stats"):
+        variables["batch_stats"] = ckpt["batch_stats"]
+    y, masks = flax_model.apply(variables, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(y), y_ref.numpy(),
+                               atol=2e-4, rtol=1e-3)
+    for s in range(3):
+        np.testing.assert_allclose(
+            np.asarray(masks[..., s]), masks_ref[s].numpy(),
+            atol=2e-4, rtol=1e-3)
