@@ -71,3 +71,45 @@ def test_evaluate_cli_perfect_separation(tmp_path):
     assert recs[0]["si_snr_db"] > 30  # 16-bit quantization limited
     assert recs[0]["si_snri_db"] > 30
     assert recs[-1]["num_recordings"] == 1
+
+
+def test_prepare_libricss_layout(tmp_path):
+    """Official LibriCSS release tree -> manifest + WER references
+    (lhotse.prepare_libricss contract, separate_libricss.py:29)."""
+    import json
+
+    import numpy as np
+
+    from css_tpu.cli import prepare
+    from css_tpu.data.corpus import write_wav
+
+    root = tmp_path / "for_release"
+    rng = np.random.default_rng(0)
+    sessions = [
+        ("OV10", "overlap_ratio_10.0_sil0.1_1.0_session0_actual10.1"),
+        ("0L", "overlap_ratio_0.0_sil2.9_3.0_session1_actual0.0"),
+    ]
+    for cond, name in sessions:
+        d = root / cond / name
+        (d / "record").mkdir(parents=True)
+        (d / "transcription").mkdir()
+        write_wav(d / "record" / "raw_recording.wav",
+                  rng.standard_normal(1600).astype(np.float32) * 0.1)
+        (d / "transcription" / "meeting_info.txt").write_text(
+            "start\tend\tspeaker\tutterance_id\ttranscription\n"
+            "0.0\t1.0\tspk1\tutt1\thello world\n"
+            "1.0\t2.0\tspk2\tutt2\tgood morning\n")
+
+    manifest = tmp_path / "recordings.jsonl"
+    refs = tmp_path / "refs.jsonl"
+    prepare.main(["libricss", "--corpus-dir", str(root),
+                  "--output", str(manifest),
+                  "--transcripts-output", str(refs)])
+    recs = {json.loads(l)["utt_id"]: json.loads(l)["path"]
+            for l in open(manifest)}
+    assert set(recs) == {"session0_OV10", "session1_0L"}
+    assert all(p.endswith("record/raw_recording.wav")
+               for p in recs.values())
+    ref_lines = {json.loads(l)["key"]: json.loads(l)["texts"]
+                 for l in open(refs)}
+    assert ref_lines["session0_OV10"] == ["hello world", "good morning"]
