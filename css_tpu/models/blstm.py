@@ -25,12 +25,23 @@ from css_tpu.ops.features import mvn
 DEFAULT_BLSTM_CONF = {"hidden_dim": 512, "num_layers": 4, "dropout_rate": 0.1}
 
 
-def lstm_scan(xw: jax.Array, w_hh: jax.Array, hidden: int, reverse: bool = False):
+def lstm_scan(xw: jax.Array, w_hh: jax.Array, hidden: int,
+              reverse: bool = False, use_pallas: bool = False):
     """Run an LSTM over precomputed input projections.
 
     xw: (B, T, 4h) = x @ W_ih^T + b_ih + b_hh; w_hh: (4h, h) transposed to
     (h, 4h) by the caller. Gate order i, f, g, o (torch convention).
+
+    ``use_pallas`` routes eval-path calls to the fused Pallas recurrence
+    (whole time loop in one kernel, weights resident in VMEM) on TPU
+    backends when the shapes tile cleanly; training keeps this scan,
+    whose VJP XLA derives for free.
     """
+    if use_pallas and jax.default_backend() in ("tpu", "axon"):
+        from css_tpu.ops.lstm_pallas import lstm_fused, supported
+
+        if supported(xw.shape[0], hidden, xw.dtype):
+            return lstm_fused(xw, w_hh, hidden, reverse=reverse)
     b = xw.shape[0]
     h0 = jnp.zeros((b, hidden), xw.dtype)
     c0 = jnp.zeros((b, hidden), xw.dtype)
@@ -73,7 +84,8 @@ class BiLSTMLayer(nn.Module):
             xw = x @ w_ih.T.astype(self.dtype) + b.astype(self.dtype)
             outs.append(
                 lstm_scan(xw, w_hh.T.astype(self.dtype), hidden,
-                          reverse=(direction == "bwd"))
+                          reverse=(direction == "bwd"),
+                          use_pallas=not train)
             )
         x = jnp.concatenate(outs, axis=-1)
         x = nn.LayerNorm(name="layer_norm", epsilon=1e-5, dtype=self.dtype)(x)
