@@ -26,7 +26,8 @@ DEFAULT_BLSTM_CONF = {"hidden_dim": 512, "num_layers": 4, "dropout_rate": 0.1}
 
 
 def lstm_scan(xw: jax.Array, w_hh: jax.Array, hidden: int,
-              reverse: bool = False, use_pallas: bool = False):
+              reverse: bool = False, use_pallas: bool = False,
+              differentiable: bool = False):
     """Run an LSTM over precomputed input projections.
 
     xw: (B, T, 4h) = x @ W_ih^T + b_ih + b_hh; w_hh: (4h, h) transposed to
@@ -38,10 +39,15 @@ def lstm_scan(xw: jax.Array, w_hh: jax.Array, hidden: int,
     whose VJP XLA derives for free.
     """
     if use_pallas and jax.default_backend() in ("tpu", "axon"):
-        from css_tpu.ops.lstm_pallas import lstm_fused, supported
+        from css_tpu.ops.lstm_pallas import (lstm_fused, lstm_fused_train,
+                                             supported, train_fused_enabled)
 
         if supported(xw.shape[0], hidden, xw.dtype):
-            return lstm_fused(xw, w_hh, hidden, reverse=reverse)
+            if differentiable:
+                if train_fused_enabled():
+                    return lstm_fused_train(xw, w_hh, hidden, reverse)
+            else:
+                return lstm_fused(xw, w_hh, hidden, reverse=reverse)
     b = xw.shape[0]
     h0 = jnp.zeros((b, hidden), xw.dtype)
     c0 = jnp.zeros((b, hidden), xw.dtype)
@@ -85,7 +91,7 @@ class BiLSTMLayer(nn.Module):
             outs.append(
                 lstm_scan(xw, w_hh.T.astype(self.dtype), hidden,
                           reverse=(direction == "bwd"),
-                          use_pallas=not train)
+                          use_pallas=True, differentiable=train)
             )
         x = jnp.concatenate(outs, axis=-1)
         x = nn.LayerNorm(name="layer_norm", epsilon=1e-5, dtype=self.dtype)(x)
