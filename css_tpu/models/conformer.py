@@ -209,7 +209,19 @@ class ConformerEncoder(nn.Module):
             pos = np.arange(t)
             rel = pos[:, None] - pos[None, :]
             rel = np.clip(rel, -self.maxlen, self.maxlen - 1) + self.maxlen
-            pos_k = jnp.asarray(pe_k)[jnp.asarray(rel)]  # (T, T, d_k)
+            # gather-as-matmul: pe_k[rel] as a direct gather costs a slow
+            # TPU gather forward and — far worse in training — a
+            # duplicate-index scatter-add VJP into the (2*maxlen, d_k)
+            # table. The distinct offsets form a CONTIGUOUS range of
+            # width <= 2T-1, so slice that band and expand it with a
+            # constant one-hot matmul (exact: each row sums one element);
+            # the VJP is another matmul plus a contiguous slice-update.
+            lo, hi = int(rel.min()), int(rel.max())
+            width = hi - lo + 1
+            onehot = np.zeros((t * t, width), np.float32)
+            onehot[np.arange(t * t), (rel - lo).reshape(-1)] = 1.0
+            pe_band = jax.lax.dynamic_slice_in_dim(pe_k, lo, width, axis=0)
+            pos_k = (jnp.asarray(onehot) @ pe_band).reshape(t, t, d_k)
 
         for i in range(self.num_blocks):
             xs = EncoderLayer(

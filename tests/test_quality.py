@@ -58,5 +58,7 @@ def test_trained_model_improves_si_snr():
     mix_quality = np.mean([si_snr_db(mix, u1), si_snr_db(mix, u2)])
     print(f"mix {mix_quality:.2f} dB -> separated {sep_quality:.2f} dB "
           f"(SI-SNRi {improvement:+.2f} dB)")
-    assert improvement > 0.5, (
-        f"expected positive SI-SNRi, got {improvement:.2f} dB")
+    # regression floor: this config measures ~+1.9 dB (a broken stitcher,
+    # WTA, or resynthesis regression drops it near/below 0)
+    assert improvement > 1.5, (
+        f"expected SI-SNRi > 1.5 dB, got {improvement:.2f} dB")
