@@ -9,9 +9,13 @@ sequential-grid trick: grid=(T,), the carried h/c states live in VMEM
 scratch (persistent across grid steps on TPU), and the recurrent weight
 matrix is loaded into VMEM once and reused for all T steps.
 
-Per-step math matches lstm_scan bit-for-bit (same dtype, same gate
-order i,f,g,o): gates = xw[t] + h @ w_hh; c = sig(f)*c + sig(i)*tanh(g);
-h = sig(o)*tanh(c).
+Per-step math matches lstm_scan (same gate order i,f,g,o):
+gates = xw[t] + h @ w_hh; c = sig(f)*c + sig(i)*tanh(g);
+h = sig(o)*tanh(c). Gate/cell elementwise math runs in f32 regardless of
+the input dtype — Mosaic cannot lower bf16 transcendentals (f32-constant
+broadcasts into bf16 vectors fail verification), and f32 cell-state
+accumulation is better numerics; bit-exact vs the scan in f32, within
+bf16 tolerance otherwise.
 
 Used for the eval/inference path (no autodiff through pallas here);
 training keeps the XLA scan whose VJP is free.
@@ -27,6 +31,25 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _gate_dot(h, whh):
+    """(B,h) x (h,4h) -> f32 gates, MXU-native under Mosaic.
+
+    The package pins jax_default_matmul_precision=highest (parity tests
+    need it), but Mosaic's tpu.matmul rejects fp32 contract precision on
+    bf16 operands ('Bad lhs type') AND a non-32-bit accumulator
+    ('Expected matmul acc to be 32-bit'). The supported bf16 form is the
+    hardware-native one: DEFAULT precision (bf16 multiply) with an f32
+    accumulator. f32 operands keep HIGHEST (true f32 passes) — matching
+    the scan outside the kernel, which sees the global pin; DEFAULT there
+    would let the recurrence amplify bf16-pass rounding into real drift.
+    """
+    prec = (jax.lax.Precision.DEFAULT if h.dtype == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
+    return jax.lax.dot_general(
+        h, whh, dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=prec, preferred_element_type=jnp.float32)
+
+
 def _lstm_kernel(hidden, xw_ref, whh_ref, out_ref, h_scr, c_scr):
     t = pl.program_id(0)
 
@@ -35,9 +58,11 @@ def _lstm_kernel(hidden, xw_ref, whh_ref, out_ref, h_scr, c_scr):
         h_scr[:] = jnp.zeros_like(h_scr)
         c_scr[:] = jnp.zeros_like(c_scr)
 
-    gates = xw_ref[0] + jnp.dot(
-        h_scr[:], whh_ref[:],
-        preferred_element_type=jnp.float32).astype(xw_ref.dtype)
+    # gate math stays in f32: Mosaic cannot lower bf16 transcendentals
+    # (sigmoid/tanh broadcast f32 constants into bf16 vectors), and f32
+    # accumulation of the cell state is better numerics anyway; only the
+    # h state (the next step's MXU input) and the output are downcast
+    gates = xw_ref[0].astype(jnp.float32) + _gate_dot(h_scr[:], whh_ref[:])
     h = hidden
     i = jax.nn.sigmoid(gates[:, :h])
     f = jax.nn.sigmoid(gates[:, h : 2 * h])
@@ -46,8 +71,8 @@ def _lstm_kernel(hidden, xw_ref, whh_ref, out_ref, h_scr, c_scr):
     c = f * c_scr[:] + i * g
     hs = o * jnp.tanh(c)
     c_scr[:] = c
-    h_scr[:] = hs
-    out_ref[0] = hs
+    h_scr[:] = hs.astype(h_scr.dtype)
+    out_ref[0] = hs.astype(out_ref.dtype)
 
 
 def train_fused_enabled() -> bool:
@@ -93,7 +118,7 @@ def lstm_fused(xw: jax.Array, w_hh: jax.Array, hidden: int,
         out_shape=jax.ShapeDtypeStruct((t, b, hidden), xw.dtype),
         scratch_shapes=[
             pltpu.VMEM((b, hidden), xw.dtype),
-            pltpu.VMEM((b, hidden), xw.dtype),
+            pltpu.VMEM((b, hidden), jnp.float32),
         ],
         interpret=interpret,
     )(xw_tm, w_hh)
@@ -117,9 +142,7 @@ def _lstm_fwd_kernel(hidden, xw_ref, whh_ref, h_ref, c_ref, h_scr, c_scr):
         h_scr[:] = jnp.zeros_like(h_scr)
         c_scr[:] = jnp.zeros_like(c_scr)
 
-    gates = xw_ref[0] + jnp.dot(
-        h_scr[:], whh_ref[:],
-        preferred_element_type=jnp.float32).astype(xw_ref.dtype)
+    gates = xw_ref[0].astype(jnp.float32) + _gate_dot(h_scr[:], whh_ref[:])
     h = hidden
     i = jax.nn.sigmoid(gates[:, :h])
     f = jax.nn.sigmoid(gates[:, h : 2 * h])
@@ -128,9 +151,9 @@ def _lstm_fwd_kernel(hidden, xw_ref, whh_ref, h_ref, c_ref, h_scr, c_scr):
     c = f * c_scr[:] + i * g
     hs = o * jnp.tanh(c)
     c_scr[:] = c
-    h_scr[:] = hs
-    h_ref[0] = hs
-    c_ref[0] = c
+    h_scr[:] = hs.astype(h_scr.dtype)
+    h_ref[0] = hs.astype(h_ref.dtype)
+    c_ref[0] = c.astype(c_ref.dtype)
 
 
 def _lstm_bwd_kernel(hidden, t_total, xw_ref, whh_ref, hprev_ref, c_ref,
@@ -147,12 +170,13 @@ def _lstm_bwd_kernel(hidden, t_total, xw_ref, whh_ref, hprev_ref, c_ref,
     h = hidden
     f32 = jnp.float32
     h_prev = hprev_ref[0]
-    gates = xw_ref[0] + jnp.dot(
-        h_prev, whh_ref[:], preferred_element_type=f32).astype(xw_ref.dtype)
-    i = jax.nn.sigmoid(gates[:, :h]).astype(f32)
-    f = jax.nn.sigmoid(gates[:, h : 2 * h]).astype(f32)
-    g = jnp.tanh(gates[:, 2 * h : 3 * h]).astype(f32)
-    o = jax.nn.sigmoid(gates[:, 3 * h : 4 * h]).astype(f32)
+    # recompute the forward's gates in f32 (the fwd kernel also keeps
+    # gate math in f32; bf16 transcendentals don't lower under Mosaic)
+    gates = xw_ref[0].astype(f32) + _gate_dot(h_prev, whh_ref[:])
+    i = jax.nn.sigmoid(gates[:, :h])
+    f = jax.nn.sigmoid(gates[:, h : 2 * h])
+    g = jnp.tanh(gates[:, 2 * h : 3 * h])
+    o = jax.nn.sigmoid(gates[:, 3 * h : 4 * h])
     c = c_ref[0].astype(f32)
     tc = jnp.tanh(c)
     dh = gout_ref[0].astype(f32) + dh_scr[:]
@@ -210,7 +234,7 @@ def _fwd_states(xw, w_hh, hidden, reverse, interpret):
         ),
         scratch_shapes=[
             pltpu.VMEM((b, hidden), xw.dtype),
-            pltpu.VMEM((b, hidden), xw.dtype),
+            pltpu.VMEM((b, hidden), jnp.float32),
         ],
         interpret=interpret,
     )(xw_tm, w_hh)
