@@ -293,11 +293,11 @@ def main(argv=None):
             alive[:nj] = True
             it = iter(dataset)
             losses = []
+            rng, epoch_rng = jax.random.split(rng)
             for i in range(args.batches_per_epoch):
                 batch = next(it)
                 batch.pop("ovl", None); batch.pop("lens", None)
-                rng, step_rng = jax.random.split(rng)
-                state, m = strategy.train_step(state, batch, step_rng)
+                state, m = strategy.train_step(state, batch, epoch_rng)
                 losses.append(m["loss"])  # device array, no per-step sync
             state = strategy.average(state, alive=alive)
             avg_loss = float(jax.numpy.mean(
@@ -305,11 +305,11 @@ def main(argv=None):
         elif args.strategy == "dp":
             it = iter(dataset)
             losses = []
+            rng, epoch_rng = jax.random.split(rng)
             for i in range(args.batches_per_epoch):
                 batch = next(it)
                 batch.pop("ovl", None); batch.pop("lens", None)
-                rng, step_rng = jax.random.split(rng)
-                state, m = strategy.train_step(state, batch, step_rng)
+                state, m = strategy.train_step(state, batch, epoch_rng)
                 losses.append(m["loss"])  # device scalar, no per-step sync
             avg_loss = float(jax.numpy.mean(jax.numpy.stack(losses)))
         else:

@@ -110,9 +110,15 @@ class ReplicaAveraging:
             self.mesh = make_mesh(
                 data=self.num_replicas, model=1,
                 devices=list(self.mesh.devices.flat)[: self.num_replicas])
-        self._vstep = jax.jit(
-            jax.vmap(trainer._train_step_impl, in_axes=(0, 0, 0)),
-            donate_argnums=(0,))
+        def vstep(state, batch, rng):
+            # per-replica keys derived inside the program (no host-side
+            # split per step); per-step freshness comes from the step
+            # counter fold_in inside _train_step_impl
+            rngs = jax.random.split(rng, self.num_replicas)
+            return jax.vmap(trainer._train_step_impl,
+                            in_axes=(0, 0, 0))(state, batch, rngs)
+
+        self._vstep = jax.jit(vstep, donate_argnums=(0,))
         self.replica_sharding = NamedSharding(self.mesh, P("data"))
 
     def init_state(self, rngs, example_batch) -> TrainState:
@@ -146,8 +152,7 @@ class ReplicaAveraging:
         return jax.device_put(reshaped, self.replica_sharding)
 
     def train_step(self, state, batch, rng):
-        rngs = jax.random.split(rng, self.num_replicas)
-        return self._vstep(state, self.shard_batch(batch), rngs)
+        return self._vstep(state, self.shard_batch(batch), rng)
 
     def average(self, state: TrainState,
                 alive: Optional[np.ndarray] = None) -> TrainState:

@@ -157,6 +157,11 @@ class Trainer:
         return loss, (aux, new_stats)
 
     def _train_step_impl(self, state: TrainState, batch, rng):
+        # derive the per-step dropout key INSIDE the program: callers pass
+        # one fixed epoch key and the step counter provides freshness, so
+        # the host never dispatches a per-step jax.random.split (a separate
+        # tiny device program per step — measurable over remote backends)
+        rng = jax.random.fold_in(rng, state.step)
         feats = self._featurize(batch)
         grad_fn = jax.value_and_grad(self._loss_fn, has_aux=True)
         (loss, (aux, new_stats)), grads = grad_fn(
@@ -205,6 +210,10 @@ class Trainer:
         runs — the shipped CLI path hits the device-staged throughput
         instead of paying a host round-trip per step. The logged
         audio-seconds/sec/chip is measured over each log interval.
+
+        ``rng`` is a fixed per-epoch key; the step derives its own dropout
+        key from it inside the compiled program (fold_in of the step
+        counter), so the loop body dispatches exactly one program per step.
         """
         n_dev = max(jax.device_count(), 1)
         it = iter(loader)
@@ -215,8 +224,7 @@ class Trainer:
             batch = next(it)
             ovl = batch.pop("ovl", None)
             batch.pop("lens", None)
-            rng, step_rng = jax.random.split(rng)
-            state, metrics = self._train_step(state, batch, step_rng)
+            state, metrics = self._train_step(state, batch, rng)
             losses.append(metrics["loss"])  # device scalar, no sync
             interval_audio += batch["mix"].shape[0] * batch["mix"].shape[1] / sr
             if log_fn is not None and (i % log_every == 0
