@@ -38,6 +38,9 @@ def main():
     parser.add_argument("--batch", type=int, default=32)
     parser.add_argument("--win-sec", type=float, default=2.5)
     parser.add_argument("--iters", type=int, default=30)
+    parser.add_argument("--repeats", type=int, default=3,
+                        help="timing-loop repeats; min is reported "
+                             "(tunnel slowdowns are transient)")
     parser.add_argument("--fp32", action="store_true")
     parser.add_argument("--blstm", action="store_true",
                         help="also benchmark the BLSTM eval forward "
@@ -79,11 +82,15 @@ def main():
 
     state, _ = trainer._train_step(state, dict(batch), rng)
     jax.block_until_ready(state.params)
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
-        state, m = trainer._train_step(state, dict(batch), rng)
-    jax.block_until_ready(state.params)
-    dt = (time.perf_counter() - t0) / args.iters
+    # best of N repeats: the tunneled dev backend has transient slowdowns
+    # of 5-50x (see BASELINE.md notes); the minimum is the chip's number
+    dt = float("inf")
+    for _ in range(args.repeats):
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            state, m = trainer._train_step(state, dict(batch), rng)
+        jax.block_until_ready(state.params)
+        dt = min(dt, (time.perf_counter() - t0) / args.iters)
 
     peak = peak_for(dev, "f32" if args.fp32 else "bf16")
     result = {
@@ -126,11 +133,14 @@ def main():
                                                      train=False))
                 out = fwd(feats)
                 jax.block_until_ready(out)
-                t0 = time.perf_counter()
-                for _ in range(args.iters):
-                    out = fwd(feats)
-                jax.block_until_ready(out)
-                return (time.perf_counter() - t0) / args.iters
+                best = float("inf")
+                for _ in range(args.repeats):
+                    t0 = time.perf_counter()
+                    for _ in range(args.iters):
+                        out = fwd(feats)
+                    jax.block_until_ready(out)
+                    best = min(best, (time.perf_counter() - t0) / args.iters)
+                return best
             finally:
                 blstm_mod.lstm_scan = orig
 
