@@ -11,9 +11,9 @@ feature extraction + Conformer-large mask estimation, bf16 compute) on
 css/executor/separator.py:63-111.
 
 Extras: training-step throughput of the SHIPPED ``Trainer.train_one_epoch``
-loop (async dispatch, device-staged batches) — Conformer-large, batch 32 x
-2.5 s windows, PIT-MSE + noise supervision, adam; the path `cli.train`
-actually runs.
+loop (async dispatch, device-staged batches, steps_per_dispatch=4 — the
+`cli.train` default) — Conformer-large, batch 32 x 2.5 s windows, PIT-MSE +
+noise supervision, adam; the path `cli.train` actually runs.
 
 Baseline: the same inference forward on the reference PyTorch
 implementation (css/models/conformer.py defaults), CPU fp32 @ 4 threads,
@@ -156,13 +156,18 @@ def bench_train():
     rng = training_rng(0)
     state = trainer.init_state(rng, staged[0])
     loader = itertools.cycle(staged)
+    # steps_per_dispatch matches the cli.train default: 4 steps scanned
+    # per device program (dispatch amortization; tests pin G>1 == G=1)
+    spd = 4
     # warmup/compile
-    state, _ = trainer.train_one_epoch(state, loader, 3, rng)
+    state, _ = trainer.train_one_epoch(state, loader, spd, rng,
+                                       steps_per_dispatch=spd)
     iters = 40
     dt = float("inf")
     for _ in range(3):  # best-of-3: tunnel transients (see above)
         t0 = time.perf_counter()
-        state, _ = trainer.train_one_epoch(state, loader, iters, rng)
+        state, _ = trainer.train_one_epoch(state, loader, iters, rng,
+                                           steps_per_dispatch=spd)
         dt = min(dt, time.perf_counter() - t0)
     n_chips = max(jax.local_device_count(), 1)
     value = iters * batch * (win / sr) / dt / n_chips

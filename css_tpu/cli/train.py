@@ -67,6 +67,12 @@ def parse_arguments(argv=None):
     parser.add_argument("--job", type=int, default=1)
     parser.add_argument("--num-epochs", type=int, default=10)
     parser.add_argument("--batches-per-epoch", type=int, default=500)
+    parser.add_argument("--steps-per-dispatch", type=int, default=4,
+                        help="train steps scanned inside one device program "
+                             "(single strategy); amortizes per-dispatch "
+                             "latency — the mixer holds each window bucket "
+                             "for this many batches so groups stack. 1 = "
+                             "one program per step (reference cadence)")
     parser.add_argument("--strategy", default="single",
                         choices=["single", "dp", "replica_avg"])
     parser.add_argument("--tp", type=int, default=1,
@@ -318,7 +324,8 @@ def main(argv=None):
             # dropout sequence every epoch
             rng, epoch_rng = jax.random.split(rng)
             state, avg_loss = trainer.train_one_epoch(
-                state, dataset, args.batches_per_epoch, epoch_rng, metrics_log)
+                state, dataset, args.batches_per_epoch, epoch_rng, metrics_log,
+                steps_per_dispatch=args.steps_per_dispatch)
 
         val = None
         if dev_dataset is not None:

@@ -68,6 +68,7 @@ class MixtureSynthesizer:
             noise_pool=conf.get("noise_pool"),
             seed=int(conf.get("seed", 0)),
             num_speakers=int(conf.get("num_spk", 2)),
+            window_group=int(conf.get("steps_per_dispatch", 1)),
         )
 
     def __init__(self, corpus: Corpus, batch_size: int = 32,
@@ -77,7 +78,7 @@ class MixtureSynthesizer:
                  min_snr: float = 5.0, max_snr: float = 20.0,
                  reverb_p: float = 0.5, noise_p: float = 0.5,
                  seed: int = 0, use_native: bool = True,
-                 num_speakers: int = 2):
+                 num_speakers: int = 2, window_group: int = 1):
         # K-speaker generalization of the reference's 2-speaker sampling
         # (separation.py:184-189): K distinct speakers, the longest
         # utterance anchors, the rest offset uniformly in [0, dur_base/2]
@@ -92,6 +93,13 @@ class MixtureSynthesizer:
         self.batch_size = batch_size
         self.window_buckets = default_window_buckets(min_window, max_window,
                                                      bucket_step)
+        # hold each sampled window bucket for `window_group` consecutive
+        # batches so Trainer.train_one_epoch(steps_per_dispatch=G) can stack
+        # G same-shape batches into one scanned device program; the marginal
+        # window distribution is unchanged
+        self.window_group = max(int(window_group), 1)
+        self._group_left = 0
+        self._group_window = None
         self.rng = np.random.default_rng(seed)
         self.transforms = []
         if rir_pool:
@@ -111,7 +119,12 @@ class MixtureSynthesizer:
 
     def __next__(self) -> Dict[str, np.ndarray]:
         rng = self.rng
-        window_size = self.window_buckets[rng.integers(len(self.window_buckets))]
+        if self._group_left <= 0:
+            self._group_window = self.window_buckets[
+                rng.integers(len(self.window_buckets))]
+            self._group_left = self.window_group
+        self._group_left -= 1
+        window_size = self._group_window
         win = int(window_size * self.sr)
         k_spk = self.num_speakers
         mixes = []

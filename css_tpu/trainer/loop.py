@@ -20,6 +20,7 @@ from typing import Any, Callable, Dict, Optional
 import flax
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from css_tpu.ops.features import FeatureExtractor
@@ -88,6 +89,8 @@ class Trainer:
         self.features = FeatureExtractor(frame_len, frame_hop)
         self._train_step = jax.jit(
             self._train_step_impl, donate_argnums=(0,) if donate else ())
+        self._train_multi = jax.jit(
+            self._train_multi_impl, donate_argnums=(0,) if donate else ())
         self._eval_step = jax.jit(self._eval_step_impl)
 
     # ---------------------------------------------------------------- setup
@@ -191,6 +194,22 @@ class Trainer:
             metrics,
         )
 
+    def _train_multi_impl(self, state: TrainState, batches, rng):
+        """G train steps in ONE device program (lax.scan over the leading
+        axis of stacked batches).
+
+        Amortizes per-program dispatch latency by 1/G — on hosts where a
+        jit dispatch costs milliseconds (tunneled/remote backends, busy
+        Python mains) this is the difference between dispatch-bound and
+        chip-bound training. Per-step dropout freshness is preserved:
+        `_train_step_impl` folds the (incrementing) step counter into the
+        epoch key inside the scan body.
+        """
+        def body(s, b):
+            return self._train_step_impl(s, b, rng)
+
+        return jax.lax.scan(body, state, batches)
+
     def _eval_step_impl(self, state: TrainState, batch):
         feats = self._featurize(batch)
         loss, (aux, _) = self._loss_fn(
@@ -199,52 +218,106 @@ class Trainer:
         return loss
 
     # ---------------------------------------------------------------- loops
+    @staticmethod
+    def _stack_group(group):
+        """Stack same-shape batch dicts along a new leading axis.
+
+        Host (numpy) batches stack on the host so the device sees ONE
+        transfer per group; device-staged batches stack with one tiny
+        device program. Returns None when keys/shapes differ (caller
+        falls back to single-step dispatch).
+        """
+        keys = group[0].keys()
+        if any(b.keys() != keys for b in group[1:]):
+            return None
+        for k in keys:
+            shape = group[0][k].shape
+            if any(b[k].shape != shape for b in group[1:]):
+                return None
+        out = {}
+        for k in keys:
+            parts = [b[k] for b in group]
+            if all(isinstance(p, np.ndarray) for p in parts):
+                out[k] = np.stack(parts)
+            else:
+                out[k] = jnp.stack([jnp.asarray(p) for p in parts])
+        return out
+
     def train_one_epoch(self, state: TrainState, loader, batches_per_epoch: int,
                         rng, log_fn: Optional[Callable] = None,
-                        sr: int = 16000, log_every: int = 50):
+                        sr: int = 16000, log_every: int = 50,
+                        steps_per_dispatch: int = 1):
         """Fixed-size epoch (train.py:92 batches-per-epoch semantics).
 
         Returns (state, avg_loss). Fully asynchronous: per-step metrics
         stay on device and the host only synchronizes every ``log_every``
         steps, so XLA's async dispatch pipelines step N+1 while step N
-        runs — the shipped CLI path hits the device-staged throughput
-        instead of paying a host round-trip per step. The logged
+        runs. With ``steps_per_dispatch`` G > 1, G consecutive same-shape
+        batches are stacked and run as ONE scanned device program
+        (`_train_multi_impl`), amortizing per-dispatch latency by 1/G —
+        pair it with the mixer's matching ``window_group`` so groups share
+        a window bucket. A trailing remainder (or a shape change inside a
+        group) falls back to single-step dispatch. The logged
         audio-seconds/sec/chip is measured over each log interval.
 
-        ``rng`` is a fixed per-epoch key; the step derives its own dropout
-        key from it inside the compiled program (fold_in of the step
-        counter), so the loop body dispatches exactly one program per step.
+        ``rng`` is a fixed per-epoch key; each step derives its own dropout
+        key inside the compiled program (fold_in of the step counter), so
+        G=1 and G>1 runs are step-for-step identical.
         """
         n_dev = max(jax.device_count(), 1)
+        g_max = max(int(steps_per_dispatch), 1)
         it = iter(loader)
-        losses = []
+        loss_scalars, loss_chunks = [], []
         t_interval = time.perf_counter()
         interval_audio = 0.0
-        for i in range(1, batches_per_epoch + 1):
-            batch = next(it)
-            ovl = batch.pop("ovl", None)
-            batch.pop("lens", None)
-            state, metrics = self._train_step(state, batch, rng)
-            losses.append(metrics["loss"])  # device scalar, no sync
-            interval_audio += batch["mix"].shape[0] * batch["mix"].shape[1] / sr
-            if log_fn is not None and (i % log_every == 0
-                                       or i == batches_per_epoch):
+        done = 0
+        next_log = log_every
+        while done < batches_per_epoch:
+            g = min(g_max, batches_per_epoch - done)
+            group, ovls = [], []
+            for _ in range(g):
+                batch = next(it)
+                ovls.append(batch.pop("ovl", None))
+                batch.pop("lens", None)
+                group.append(batch)
+            stacked = self._stack_group(group) if g > 1 else None
+            if stacked is not None:
+                state, metrics = self._train_multi(state, stacked, rng)
+                loss_chunks.append(metrics["loss"])  # (g,) device, no sync
+            else:
+                for batch in group:
+                    state, metrics = self._train_step(state, batch, rng)
+                    loss_scalars.append(metrics["loss"])  # device, no sync
+            done += g
+            bsize = group[-1]["mix"].shape[0]
+            interval_audio += sum(
+                b["mix"].shape[0] * b["mix"].shape[1] for b in group) / sr
+            if log_fn is not None and (done >= next_log
+                                       or done == batches_per_epoch):
                 m = jax.device_get(metrics)  # sync: device caught up to here
+                last = {k: np.asarray(v).reshape(-1)[-1]
+                        for k, v in m.items()}  # last step of the group
                 dt = time.perf_counter() - t_interval
                 log = {
-                    "iter": i,
-                    "loss": float(m["loss"]),
-                    "grad_norm": float(m["grad_norm"]),
-                    "lr": float(m["lr"]),
-                    "bsize": int(batch["mix"].shape[0]),
+                    "iter": done,
+                    "loss": float(last["loss"]),
+                    "grad_norm": float(last["grad_norm"]),
+                    "lr": float(last["lr"]),
+                    "bsize": int(bsize),
                     "audio_sec_per_sec_per_chip": interval_audio / dt / n_dev,
                 }
-                if ovl is not None:
-                    log["ovl"] = float(ovl)
+                if ovls[-1] is not None:
+                    log["ovl"] = float(ovls[-1])
                 log_fn(log)
                 t_interval = time.perf_counter()
                 interval_audio = 0.0
-        total = float(jnp.sum(jnp.stack(losses)))
+                while next_log <= done:
+                    next_log += log_every
+        total = 0.0
+        if loss_scalars:
+            total += float(jnp.sum(jnp.stack(loss_scalars)))
+        if loss_chunks:
+            total += float(jnp.sum(jnp.concatenate(loss_chunks)))
         return state, total / batches_per_epoch
 
     def validate(self, state: TrainState, loader, num_batches: int = 100):
