@@ -69,6 +69,12 @@ def main(argv=None):
                              "(bounded-latency; output matches offline "
                              "within float tolerance, modulo the global "
                              "peak normalization a causal system cannot do)")
+    parser.add_argument("--stream-mode", choices=("window", "hop"),
+                        default="window",
+                        help="window: any model, CSS-algorithm latency "
+                             "(~4.5 s); hop: causal model (--blstm-causal "
+                             "checkpoint), frame-level latency (~48 ms + "
+                             "dispatch granularity), no stitcher")
     parser.add_argument("--push-sec", type=float, default=0.8,
                         help="streaming push granularity in seconds")
     args = parser.parse_args(argv)
@@ -91,13 +97,21 @@ def main(argv=None):
             from pathlib import Path as _P
 
             from css_tpu.data.corpus import write_wav
-            from css_tpu.executor.streaming import StreamingCssPipeline
 
-            stream = StreamingCssPipeline(model, variables, config)
             push = int(args.push_sec * pipe.sr)
             wav2 = np.atleast_2d(np.asarray(wav, np.float32))
-            outs = [stream.push(wav2[:, i : i + push])
-                    for i in range(0, wav2.shape[-1], push)]
+            if args.stream_mode == "hop":
+                from css_tpu.executor.hop_streaming import HopStreamingPipeline
+
+                stream = HopStreamingPipeline(model, variables, config)
+                outs = [stream.push(wav2[0, i : i + push])
+                        for i in range(0, wav2.shape[-1], push)]
+            else:
+                from css_tpu.executor.streaming import StreamingCssPipeline
+
+                stream = StreamingCssPipeline(model, variables, config)
+                outs = [stream.push(wav2[:, i : i + push])
+                        for i in range(0, wav2.shape[-1], push)]
             outs.append(stream.flush())
             full = np.concatenate(outs, axis=-1)
             out_dir = _P(args.out_dir)

@@ -20,14 +20,15 @@ import jax.numpy as jnp
 import numpy as np
 
 from css_tpu.models.base import MODELS, add_common_mask_args
-from css_tpu.ops.features import mvn
+from css_tpu.ops.features import cumulative_mvn, mvn
 
 DEFAULT_BLSTM_CONF = {"hidden_dim": 512, "num_layers": 4, "dropout_rate": 0.1}
 
 
 def lstm_scan(xw: jax.Array, w_hh: jax.Array, hidden: int,
               reverse: bool = False, use_pallas: bool = False,
-              differentiable: bool = False):
+              differentiable: bool = False, state=None,
+              return_state: bool = False):
     """Run an LSTM over precomputed input projections.
 
     xw: (B, T, 4h) = x @ W_ih^T + b_ih + b_hh; w_hh: (4h, h) transposed to
@@ -37,8 +38,14 @@ def lstm_scan(xw: jax.Array, w_hh: jax.Array, hidden: int,
     (whole time loop in one kernel, weights resident in VMEM) on TPU
     backends when the shapes tile cleanly; training keeps this scan,
     whose VJP XLA derives for free.
+
+    ``state`` is an optional initial (h, c) — the carried recurrent state
+    of streaming inference; ``return_state=True`` additionally returns the
+    final (h, c) (forward direction only — a reverse scan has no causal
+    carry to chain).
     """
-    if use_pallas and jax.default_backend() in ("tpu", "axon"):
+    if (use_pallas and state is None and not return_state
+            and jax.default_backend() in ("tpu", "axon")):
         from css_tpu.ops.lstm_pallas import (lstm_fused, lstm_fused_train,
                                              supported, train_fused_enabled)
 
@@ -49,8 +56,9 @@ def lstm_scan(xw: jax.Array, w_hh: jax.Array, hidden: int,
             else:
                 return lstm_fused(xw, w_hh, hidden, reverse=reverse)
     b = xw.shape[0]
-    h0 = jnp.zeros((b, hidden), xw.dtype)
-    c0 = jnp.zeros((b, hidden), xw.dtype)
+    if state is None:
+        state = (jnp.zeros((b, hidden), xw.dtype),
+                 jnp.zeros((b, hidden), xw.dtype))
 
     def step(carry, xw_t):
         h, c = carry
@@ -65,37 +73,63 @@ def lstm_scan(xw: jax.Array, w_hh: jax.Array, hidden: int,
         return (h, c), h
 
     xs = jnp.swapaxes(xw, 0, 1)  # (T, B, 4h)
-    _, hs = jax.lax.scan(step, (h0, c0), xs, reverse=reverse)
-    return jnp.swapaxes(hs, 0, 1)  # (B, T, h)
+    final, hs = jax.lax.scan(step, tuple(state), xs, reverse=reverse)
+    hs = jnp.swapaxes(hs, 0, 1)  # (B, T, h)
+    return (hs, final) if return_state else hs
 
 
 class BiLSTMLayer(nn.Module):
-    """One bidirectional LSTM + LayerNorm + dropout (blstm.py:131-160)."""
+    """One (bi)directional LSTM + LayerNorm + dropout (blstm.py:131-160).
+
+    ``causal=True`` drops the backward direction and widens the forward
+    LSTM to the full layer width — the recurrent streaming configuration
+    (hop-granular inference with carried (h, c) state via ``stream``).
+    """
 
     h_dim: int
     dropout_rate: float
     dtype: Any = jnp.float32
+    causal: bool = False
 
-    @nn.compact
+    def setup(self):
+        hidden = self.h_dim if self.causal else self.h_dim // 2
+        dirs = ("fwd",) if self.causal else ("fwd", "bwd")
+        self._weights = tuple(
+            (d,
+             self.param(f"w_ih_{d}", nn.initializers.lecun_normal(),
+                        (4 * hidden, self.h_dim), jnp.float32),
+             self.param(f"w_hh_{d}", nn.initializers.orthogonal(),
+                        (4 * hidden, hidden), jnp.float32),
+             self.param(f"b_{d}", nn.initializers.zeros,
+                        (4 * hidden,), jnp.float32))
+            for d in dirs)
+        self._hidden = hidden
+        self.layer_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
+        self.dropout = nn.Dropout(self.dropout_rate)
+
     def __call__(self, x, train: bool = False):
-        hidden = self.h_dim // 2
         outs = []
-        for direction in ("fwd", "bwd"):
-            w_ih = self.param(f"w_ih_{direction}", nn.initializers.lecun_normal(),
-                              (4 * hidden, self.h_dim), jnp.float32)
-            w_hh = self.param(f"w_hh_{direction}", nn.initializers.orthogonal(),
-                              (4 * hidden, hidden), jnp.float32)
-            b = self.param(f"b_{direction}", nn.initializers.zeros,
-                           (4 * hidden,), jnp.float32)
+        for direction, w_ih, w_hh, b in self._weights:
             xw = x @ w_ih.T.astype(self.dtype) + b.astype(self.dtype)
             outs.append(
-                lstm_scan(xw, w_hh.T.astype(self.dtype), hidden,
+                lstm_scan(xw, w_hh.T.astype(self.dtype), self._hidden,
                           reverse=(direction == "bwd"),
                           use_pallas=True, differentiable=train)
             )
-        x = jnp.concatenate(outs, axis=-1)
-        x = nn.LayerNorm(name="layer_norm", epsilon=1e-5, dtype=self.dtype)(x)
-        return nn.Dropout(self.dropout_rate, deterministic=not train)(x)
+        x = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
+        x = self.layer_norm(x)
+        return self.dropout(x, deterministic=not train)
+
+    def stream(self, x, state):
+        """Causal chunk forward carrying (h, c); eval-path (no dropout)."""
+        if not self.causal:
+            raise ValueError("stream() requires causal=True")
+        (_, w_ih, w_hh, b), = self._weights
+        xw = x @ w_ih.T.astype(self.dtype) + b.astype(self.dtype)
+        hs, new_state = lstm_scan(xw, w_hh.T.astype(self.dtype),
+                                  self._hidden, state=state,
+                                  return_state=True)
+        return self.layer_norm(hs), new_state
 
 
 @MODELS.register("BLSTM")
@@ -110,6 +144,7 @@ class BLSTM(nn.Module):
     num_layers: int = 3
     dropout_rate: float = 0.1
     compute_dtype: Any = jnp.float32
+    causal: bool = False
 
     @staticmethod
     def add_args(parser):
@@ -117,6 +152,11 @@ class BLSTM(nn.Module):
         parser.add_argument("--blstm-hdim", type=int, default=1024)
         parser.add_argument("--blstm-num-layers", type=int, default=3)
         parser.add_argument("--blstm-dropout-rate", type=float, default=0.1)
+        parser.add_argument("--blstm-causal", action="store_true",
+                            help="unidirectional LSTM + cumulative MVN: "
+                                 "hop-granular streaming inference with "
+                                 "carried state (cli.separate "
+                                 "--stream-mode hop)")
 
     @classmethod
     def build_model(cls, conf):
@@ -129,31 +169,76 @@ class BLSTM(nn.Module):
             num_layers=int(conf.get("blstm_num_layers", 3)),
             dropout_rate=float(conf.get("blstm_dropout_rate", 0.1)),
             compute_dtype=jnp.bfloat16 if conf.get("bf16") else jnp.float32,
+            causal=bool(conf.get("blstm_causal", False)),
         )
 
-    @nn.compact
+    def setup(self):
+        self.embed_linear = nn.Dense(self.hidden_dim,
+                                     dtype=self.compute_dtype)
+        self.embed_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.compute_dtype)
+        self.embed_dropout = nn.Dropout(self.dropout_rate)
+        self.encoders = [
+            BiLSTMLayer(self.hidden_dim, self.dropout_rate,
+                        dtype=self.compute_dtype, causal=self.causal)
+            for _ in range(self.num_layers)
+        ]
+        self.linear = nn.Dense(self.num_bins * (self.num_spk + self.num_noise),
+                               dtype=self.compute_dtype)
+
+    def _mask_head(self, f):
+        n_src = self.num_spk + self.num_noise
+        masks = nn.relu(self.linear(f)).astype(jnp.float32)
+        b, t, _ = masks.shape
+        masks = masks.reshape(b, t, n_src, self.num_bins)
+        return jnp.transpose(masks, (0, 1, 3, 2))  # (B, T, F, S)
+
     def __call__(self, f, train: bool = False):
         """f: (B, T, F) -> (y_pred (B, num_spk, T, F), masks (B, T, F, S))."""
         f_orig = f
-        f = mvn(f, axis=-2)  # blstm.py:80
+        if self.causal:
+            f, _ = cumulative_mvn(f)  # running stats: streamable
+        else:
+            f = mvn(f, axis=-2)  # blstm.py:80
         f = f.astype(self.compute_dtype)
-        f = nn.Dense(self.hidden_dim, name="embed_linear", dtype=self.compute_dtype)(f)
-        f = nn.LayerNorm(name="embed_norm", epsilon=1e-5, dtype=self.compute_dtype)(f)
-        f = nn.Dropout(self.dropout_rate, deterministic=not train)(f)
-        f = nn.relu(f)
-        for i in range(self.num_layers):
-            f = BiLSTMLayer(self.hidden_dim, self.dropout_rate,
-                            name=f"encoders_{i}", dtype=self.compute_dtype)(f, train)
-        n_src = self.num_spk + self.num_noise
-        masks = nn.Dense(self.num_bins * n_src, name="linear",
-                         dtype=self.compute_dtype)(f)
-        masks = nn.relu(masks).astype(jnp.float32)
-        b, t, _ = masks.shape
-        masks = masks.reshape(b, t, n_src, self.num_bins)
-        masks = jnp.transpose(masks, (0, 1, 3, 2))  # (B, T, F, S)
+        f = nn.relu(self.embed_dropout(
+            self.embed_norm(self.embed_linear(f)), deterministic=not train))
+        for enc in self.encoders:
+            f = enc(f, train)
+        masks = self._mask_head(f)
         y_pred = jnp.einsum("btfs,btf->bstf", masks[..., : self.num_spk],
                             f_orig[..., : self.num_bins])
         return y_pred, masks
+
+    # ------------------------------------------------------------- streaming
+    def stream_init(self, batch: int = 1):
+        """Zero carry for `stream`: running-MVN stats + per-layer (h, c)."""
+        dt = self.compute_dtype
+        zeros_f = jnp.zeros((batch, self.idim), jnp.float32)
+        layers = tuple(
+            (jnp.zeros((batch, self.hidden_dim), dt),
+             jnp.zeros((batch, self.hidden_dim), dt))
+            for _ in range(self.num_layers))
+        return {"mvn": (jnp.zeros((), jnp.float32), zeros_f, zeros_f),
+                "layers": layers}
+
+    def stream(self, f, carry):
+        """Causal chunk forward: (B, Tc, F), carry -> (masks, new_carry).
+
+        Chained chunk calls reproduce the full-utterance `__call__` masks
+        exactly (same running-MVN math, same recurrence) — the hop-granular
+        streaming path of `executor.hop_streaming`.
+        """
+        if not self.causal:
+            raise ValueError("stream() requires a causal=True model")
+        f, mvn_carry = cumulative_mvn(f, carry["mvn"])
+        f = f.astype(self.compute_dtype)
+        f = nn.relu(self.embed_norm(self.embed_linear(f)))
+        states = []
+        for enc, st in zip(self.encoders, carry["layers"]):
+            f, st2 = enc.stream(f, st)
+            states.append(st2)
+        return self._mask_head(f), {"mvn": mvn_carry,
+                                    "layers": tuple(states)}
 
 
 def params_from_torch(state_dict, num_layers: int = 3):

@@ -34,6 +34,36 @@ def mvn(x: jax.Array, axis: int = -2, eps: float = EPSILON) -> jax.Array:
     return (x - mean) / (jnp.sqrt(var) + eps)
 
 
+def cumulative_mvn(x: jax.Array, carry=None, eps: float = EPSILON):
+    """Causal MVN over the time axis (-2): frame t is normalized by the
+    running per-bin statistics of frames [0..t] — the streamable
+    counterpart of `mvn` (same Bessel-corrected ddof=1 variance; the
+    reference's only causal normalizer is ConvTasNet's CumulativeLayerNorm,
+    conv_tasnet.py:200-222).
+
+    ``carry`` is ``(count, sum, sumsq)`` from a previous chunk (count
+    scalar; sum/sumsq shaped like one frame) or None to start fresh.
+    Returns ``(normalized, new_carry)`` so chained chunk calls equal one
+    full-utterance call.
+    """
+    t = x.shape[-2]
+    if carry is None:
+        count0 = jnp.zeros((), x.dtype)
+        zeros = jnp.zeros(x.shape[:-2] + x.shape[-1:], x.dtype)
+        carry = (count0, zeros, zeros)
+    count0, sum0, sumsq0 = carry
+    n = count0 + jnp.arange(1, t + 1, dtype=x.dtype)  # (T,)
+    n = n.reshape((1,) * (x.ndim - 2) + (t, 1))
+    csum = sum0[..., None, :] + jnp.cumsum(x, axis=-2)
+    csumsq = sumsq0[..., None, :] + jnp.cumsum(jnp.square(x), axis=-2)
+    mean = csum / n
+    var = jnp.maximum(csumsq - n * jnp.square(mean), 0.0) / jnp.maximum(
+        n - 1.0, 1.0)
+    out = (x - mean) / (jnp.sqrt(var) + eps)
+    new_carry = (count0 + t, csum[..., -1, :], csumsq[..., -1, :])
+    return out, new_carry
+
+
 def parse_ipd_index(ipd_index: str) -> Tuple[np.ndarray, np.ndarray]:
     """'1,0;2,0;...' -> (left_idx, right_idx) arrays (feature.py:95-103)."""
     pairs = [tuple(map(int, p.split(","))) for p in ipd_index.split(";")]
