@@ -107,3 +107,65 @@ def test_dp_strategy_cli(tmp_path):
         "--min-window-size", "2", "--max-window-size", "2",
         "--validate-batches", "2"])
     assert (expdir / "1.1.mdl").exists()
+
+
+def test_causal_train_and_hop_streaming_cli(tmp_path):
+    """--blstm-causal training -> cli.separate --stream-mode hop."""
+    from css_tpu.cli import separate, train
+    from css_tpu.data.corpus import read_wav
+
+    expdir = tmp_path / "exp_causal"
+    train.main([
+        "--expdir", str(expdir), "--model", "BLSTM", "--objective", "MSE",
+        "--synthetic-data", "--batch-size", "4", "--batches-per-epoch", "3",
+        "--num-epochs", "1", "--optim", "adam", "--lr", "1e-3",
+        "--warmup", "2", "--blstm-hdim", "16", "--blstm-num-layers", "1",
+        "--blstm-causal", "--min-window-size", "2", "--max-window-size", "2",
+        "--validate-batches", "2", "--job", "1",
+    ])
+    ckpt = expdir / "1.1.mdl"
+    assert ckpt.exists()
+    assert json.load(open(expdir / "conf.1.json"))["blstm_causal"] is True
+
+    rng = np.random.default_rng(1)
+    wav_dir = tmp_path / "recs"
+    wav_dir.mkdir()
+    n = 16000 * 4
+    write_wav(wav_dir / "live.wav",
+              rng.standard_normal(n).astype(np.float32) * 0.05)
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump({
+        "sampling_rate": 16000,
+        "separation": {"frame_length": 512, "frame_shift": 256,
+                       "num_spk": 2},
+        "beamforming": {"wta_thresh": 1e-4},
+    }))
+    out_dir = tmp_path / "out"
+    separate.main([
+        "--config", str(cfg_path), "--checkpoint", str(ckpt),
+        "--model", "BLSTM", "--corpus-dir", str(wav_dir),
+        "--out-dir", str(out_dir), "--streaming", "--stream-mode", "hop",
+        "--push-sec", "0.3"])
+    for i in range(2):
+        wav, sr = read_wav(out_dir / f"live_{i}.wav")
+        wav = np.asarray(wav)
+        assert wav.shape[-1] == n and sr == 16000
+        assert np.isfinite(wav).all()
+
+    # hop mode on a non-causal checkpoint fails with a clear error
+    (tmp_path / "exp_nc").mkdir()
+    train.main([
+        "--expdir", str(tmp_path / "exp_nc"), "--model", "BLSTM",
+        "--objective", "MSE", "--synthetic-data", "--batch-size", "4",
+        "--batches-per-epoch", "2", "--num-epochs", "1", "--optim", "adam",
+        "--lr", "1e-3", "--warmup", "2", "--blstm-hdim", "16",
+        "--blstm-num-layers", "1", "--min-window-size", "2",
+        "--max-window-size", "2", "--validate-batches", "1", "--job", "1",
+    ])
+    with pytest.raises(ValueError, match="causal"):
+        separate.main([
+            "--config", str(cfg_path),
+            "--checkpoint", str(tmp_path / "exp_nc" / "1.1.mdl"),
+            "--model", "BLSTM", "--corpus-dir", str(wav_dir),
+            "--out-dir", str(tmp_path / "out2"), "--streaming",
+            "--stream-mode", "hop"])
