@@ -180,3 +180,83 @@ def test_causal_model_trains():
     state, metrics = trainer._train_step(state, batch, rng)
     assert np.isfinite(float(metrics["loss"]))
     assert int(state.step) == 1
+
+
+# ---------------------------------------------------------------- Conformer
+def _causal_conformer(**kw):
+    from css_tpu.models.conformer import Conformer
+
+    return Conformer(idim=257, num_bins=257, attention_dim=32,
+                     attention_heads=2, linear_units=64, num_blocks=2,
+                     kernel_size=9, dropout_rate=0.0, causal=True,
+                     left_context=16, **kw)
+
+
+def test_causal_conformer_stream_matches_full_forward():
+    """Chunked stream (KV cache + conv tail + running MVN) == the full
+    causal forward, including chunks larger than the left context."""
+    model = _causal_conformer()
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, 20, 257)), train=False)
+    x = jnp.asarray(np.random.default_rng(6).standard_normal((1, 45, 257))
+                    .astype(np.float32) ** 2)
+    _, masks_full = model.apply(variables, x, train=False)
+    carry = model.stream_init(1)
+    outs = []
+    for lo, hi in ((0, 7), (7, 8), (8, 25), (25, 45)):
+        m, carry = model.apply(variables, x[:, lo:hi], carry,
+                               method="stream")
+        outs.append(m)
+    masks_stream = jnp.concatenate(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(masks_stream),
+                               np.asarray(masks_full),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_causal_conformer_hop_pipeline():
+    """HopStreamingPipeline is model-agnostic: causal Conformer end-to-end
+    with push-size invariance."""
+    model = _causal_conformer()
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, 20, 257)), train=False)
+    wav = (np.random.default_rng(7).standard_normal(16000)
+           .astype(np.float32) * 0.1)
+
+    def run(push_sizes):
+        pipe = HopStreamingPipeline(model, variables, CFG, chunk_frames=4)
+        outs, pos = [], 0
+        for n in push_sizes:
+            outs.append(pipe.push(wav[pos : pos + n]))
+            pos += n
+        outs.append(pipe.push(wav[pos:]))
+        outs.append(pipe.flush())
+        return np.concatenate(outs, axis=-1)
+
+    a = run([len(wav)])
+    b = run([500, 2500, 13000])
+    assert a.shape == (2, len(wav))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_causal_conformer_trains():
+    """--conformer-causal: banded attention + causal conv through one
+    train step (conf -> build_model -> Trainer)."""
+    from css_tpu.models.conformer import Conformer
+    from css_tpu.objectives.mse import MeanSquaredError
+    from css_tpu.trainer import LRSchedule, Trainer
+
+    model = Conformer.build_model(
+        {"conformer_attention_dim": 32, "conformer_attention_heads": 2,
+         "conformer_linear_units": 64, "conformer_num_blocks": 2,
+         "conformer_kernel_size": 9, "conformer_causal": True,
+         "conformer_left_context": 16})
+    assert model.causal and model.left_context == 16
+    trainer = Trainer(model, MeanSquaredError(),
+                      LRSchedule(lr=1e-3, warmup=2), optim="adam")
+    host = np.random.default_rng(8)
+    batch = {k: host.standard_normal((2, 32000)).astype(np.float32) * 0.1
+             for k in ("mix", "source1", "source2")}
+    rng = jax.random.PRNGKey(0)
+    state = trainer.init_state(rng, batch)
+    state, metrics = trainer._train_step(state, batch, rng)
+    assert np.isfinite(float(metrics["loss"]))
