@@ -115,11 +115,21 @@ class SyntheticCorpus(Corpus):
 
     def __init__(self, num_speakers: int = 8, utts_per_speaker: int = 6,
                  min_dur: float = 3.0, max_dur: float = 8.0,
-                 sample_rate: int = 16000, seed: int = 0):
+                 sample_rate: int = 16000, seed: int = 0,
+                 f0_min: float = 90.0, f0_max: float = None):
         rng = np.random.default_rng(seed)
+        # default ladder: 25 Hz per speaker (historical). Passing f0_max
+        # packs the same speaker count into [f0_min, f0_max] — a DENSER
+        # fundamental grid. Speaker identity in this corpus is essentially
+        # the base f0, so a sparse ladder lets a mask model key on the
+        # exact trained fundamentals and fail on held-out speakers between
+        # them (measured: +7.5 dB SI-SNRi in-distribution vs +0.1 held-out
+        # with the 25 Hz ladder); a dense grid forces interpolation.
+        spacing = (25.0 if f0_max is None
+                   else (f0_max - f0_min) / max(num_speakers - 1, 1))
         utts = []
         for s in range(num_speakers):
-            base_f0 = 90.0 + 25.0 * s + rng.uniform(-5, 5)
+            base_f0 = f0_min + spacing * s + rng.uniform(-5, 5)
             for u in range(utts_per_speaker):
                 dur = float(rng.uniform(min_dur, max_dur))
                 n = int(dur * sample_rate)

@@ -52,19 +52,27 @@ def make_session(corpus, rng, dur_sec: float, sr: int = 16000,
 
 
 def irm_oracle_si_snri(mix, srcs, sr=16000):
-    """Ideal-ratio-mask resynthesis bound on the same material."""
+    """Ideal-ratio-mask resynthesis bound on the same material.
+
+    Pinned to the CPU backend: the oracle is host-side bookkeeping, and
+    complex device->host transfers are unimplemented on tunneled dev
+    backends (axon).
+    """
+    import jax
+
     from css_tpu.ops.stft import istft, stft
     from css_tpu.utils.metrics import si_snr_improvement_db
 
-    spec = np.asarray(stft(mix[None], 512, 256))[0]
-    outs = []
-    mags = [np.abs(np.asarray(stft(s[None], 512, 256))[0]) for s in srcs]
-    denom = sum(mags) + 1e-8
-    for m in mags:
-        masked = spec * (m / denom)
-        outs.append(np.asarray(
-            istft(masked[None], 512, 256, length=mix.shape[-1]))[0])
-    return si_snr_improvement_db(outs, list(srcs), mix)
+    with jax.default_device(jax.devices("cpu")[0]):
+        spec = np.asarray(stft(mix[None], 512, 256))[0]
+        outs = []
+        mags = [np.abs(np.asarray(stft(s[None], 512, 256))[0]) for s in srcs]
+        denom = sum(mags) + 1e-8
+        for m in mags:
+            masked = spec * (m / denom)
+            outs.append(np.asarray(
+                istft(masked[None], 512, 256, length=mix.shape[-1]))[0])
+        return si_snr_improvement_db(outs, list(srcs), mix)
 
 
 def main(argv=None):
