@@ -31,9 +31,10 @@ from css_tpu.ops.stft import num_fft_bins, stft_analysis_kernel
 _ROWS = 8  # batch rows per grid step
 
 
-def _stft_mag_kernel(x_ref, k_ref, out_ref, *, t: int, hop: int, bins: int):
-    """x_ref (ROWS, (t+1)*hop) raw samples, k_ref (2*hop, 2*bins) analysis
-    matrix, out_ref (ROWS, t, bins) magnitudes.
+def _stft_mag_kernel(x_ref, k_ref, out_ref, *, t: int, hop: int, bins: int,
+                     rows: int):
+    """x_ref (rows, (t+1)*hop) raw samples, k_ref (2*hop, 2*bins) analysis
+    matrix, out_ref (rows, t, bins) magnitudes.
 
     Frame t = [seg_t | seg_{t+1}] (hop = frame/2), so instead of
     materializing overlapped frames (a sublane-offset concat Mosaic cannot
@@ -41,19 +42,24 @@ def _stft_mag_kernel(x_ref, k_ref, out_ref, *, t: int, hop: int, bins: int):
       spec_t = seg_t @ K[:hop] + seg_{t+1} @ K[hop:]
     with both operand loads taken as lane-aligned static ref slices.
     """
-    first = x_ref[:, : t * hop].reshape(_ROWS * t, hop)
-    second = x_ref[:, hop : (t + 1) * hop].reshape(_ROWS * t, hop)
+    first = x_ref[:, : t * hop].reshape(rows * t, hop)
+    second = x_ref[:, hop : (t + 1) * hop].reshape(rows * t, hop)
     spec = jnp.dot(first, k_ref[:hop], preferred_element_type=jnp.float32)
     spec += jnp.dot(second, k_ref[hop:], preferred_element_type=jnp.float32)
     re = spec[:, :bins]
     im = spec[:, bins:]
-    out_ref[:] = jnp.sqrt(re * re + im * im).reshape(_ROWS, t, bins)
+    out_ref[:] = jnp.sqrt(re * re + im * im).reshape(rows, t, bins)
 
 
-@functools.partial(jax.jit, static_argnames=("frame_len", "hop", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("frame_len", "hop", "interpret", "rows"))
 def stft_mag_pallas(x: jax.Array, frame_len: int = 512, hop: int = 256,
-                    interpret: bool = False) -> jax.Array:
-    """|STFT| of (B, N) -> (B, T, bins); fused framing+rDFT+magnitude."""
+                    interpret: bool = False, rows: int = _ROWS) -> jax.Array:
+    """|STFT| of (B, N) -> (B, T, bins); fused framing+rDFT+magnitude.
+
+    ``rows`` = batch rows per grid step (Mosaic needs a multiple of 8;
+    larger tiles mean bigger matmuls but more VMEM per step).
+    """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -64,7 +70,7 @@ def stft_mag_pallas(x: jax.Array, frame_len: int = 512, hop: int = 256,
     t = (n - frame_len) // hop + 1
     usable = (t + 1) * hop
     x = x[:, :usable]
-    pad_b = (-b) % _ROWS
+    pad_b = (-b) % rows
     if pad_b:
         x = jnp.concatenate(
             [x, jnp.zeros((pad_b, usable), x.dtype)], axis=0)
@@ -72,16 +78,17 @@ def stft_mag_pallas(x: jax.Array, frame_len: int = 512, hop: int = 256,
     kern = jnp.asarray(stft_analysis_kernel(frame_len))  # (512, 2*bins)
 
     out = pl.pallas_call(
-        functools.partial(_stft_mag_kernel, t=t, hop=hop, bins=bins),
+        functools.partial(_stft_mag_kernel, t=t, hop=hop, bins=bins,
+                          rows=rows),
         out_shape=jax.ShapeDtypeStruct((bp, t, bins), jnp.float32),
-        grid=(bp // _ROWS,),
+        grid=(bp // rows,),
         in_specs=[
-            pl.BlockSpec((_ROWS, usable), lambda i: (i, 0),
+            pl.BlockSpec((rows, usable), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((frame_len, 2 * bins), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((_ROWS, t, bins), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((rows, t, bins), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         # the (ROWS*t, 2*bins) spec intermediate pushes past the default
         # 16M scoped-vmem budget; v5e VMEM comfortably fits 2-3x that
