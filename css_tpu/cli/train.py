@@ -107,6 +107,15 @@ def parse_arguments(argv=None):
                         help="validation batches per epoch (iteration_types.py:71 uses 100)")
     parser.add_argument("--num-workers", type=int, default=2,
                         help="producer threads for mixture synthesis")
+    parser.add_argument("--device-mix", action="store_true",
+                        help="synthesize training mixtures ON the "
+                             "accelerator: audio pools go to HBM once, the "
+                             "host streams only sampling decisions "
+                             "(~100 B/window), and windows/reverb/noise are "
+                             "materialized inside the jitted train step — "
+                             "removes the host->device audio transfer and "
+                             "the host mixing bottleneck the reference "
+                             "suffered (css README.md:13-14)")
     parser.add_argument("--platform", default=None,
                         help="pin the jax backend (e.g. cpu, tpu) — "
                              "overrides environment platform plugins")
@@ -198,21 +207,40 @@ def main(argv=None):
     if args.synthetic_rirs:
         conf["rir_pool"] = synthetic_rir_pool()
         conf["noise_pool"] = synthetic_noise_pool()
+    dmix = dev_dmix = None
+    if args.device_mix:
+        if args.strategy != "single" or n_proc > 1:
+            raise SystemExit("--device-mix currently supports the "
+                             "single-device strategy in one process")
+        from css_tpu.data.device_mixer import DeviceMixer
+
+        dmix = DeviceMixer(build_dataset(args.dataset, corpus, conf))
+        if dev_corpus is not None:
+            dev_dmix = DeviceMixer(build_dataset(
+                args.dataset, dev_corpus, {**conf, "seed": 12345}))
+
+    def make_train_stream(i=0):
+        ds = build_dataset(args.dataset, corpus,
+                           {**conf, "seed": conf["seed"] + 7 * i})
+        return dmix.wrap(ds) if dmix else ds
+
     if args.num_workers > 1:
         from css_tpu.data import PrefetchLoader
 
         dataset = PrefetchLoader(
-            factory=lambda i: build_dataset(
-                args.dataset, corpus, {**conf, "seed": conf["seed"] + 7 * i}),
+            factory=make_train_stream,
             num_threads=args.num_workers,
             # stage batches on device ahead of the step (async transfer
             # overlaps with compute); dp/replica_avg shard on their own
             device=(jax.devices()[0] if args.strategy == "single" else None))
     else:
-        dataset = build_dataset(args.dataset, corpus, conf)
-    dev_dataset = (build_dataset(args.dataset, dev_corpus,
-                                 {**conf, "seed": 12345})
-                   if dev_corpus else None)
+        dataset = make_train_stream()
+    if dev_dmix is not None:
+        dev_dataset = dev_dmix
+    else:
+        dev_dataset = (build_dataset(args.dataset, dev_corpus,
+                                     {**conf, "seed": 12345})
+                       if dev_corpus else None)
     if args.fail_after_batches is not None:
         def _crashing(it, n=args.fail_after_batches):
             for i, b in enumerate(it):
@@ -235,6 +263,10 @@ def main(argv=None):
 
     rng = training_rng(args.seed, args.prng_impl)
     example = next(dataset)
+    # device-resident audio pools (device-mix mode): shipped to HBM once,
+    # passed to every step so the compiled program slices them in place
+    pools = dmix.device_pools() if dmix else None
+    dev_pools = dev_dmix.device_pools() if dev_dmix else None
 
     strategy = None
     if args.strategy == "dp":
@@ -259,7 +291,7 @@ def main(argv=None):
                for k, v in example.items() if hasattr(v, "ndim") and v.ndim}
         state = strategy.init_state(rngs, per)
     else:
-        state = trainer.init_state(rng, example)
+        state = trainer.init_state(rng, example, pools)
 
     n_params = sum(int(np.prod(x.shape))
                    for x in jax.tree.leaves(state.params))
@@ -331,14 +363,15 @@ def main(argv=None):
             rng, epoch_rng = jax.random.split(rng)
             state, avg_loss = trainer.train_one_epoch(
                 state, dataset, args.batches_per_epoch, epoch_rng, metrics_log,
-                steps_per_dispatch=args.steps_per_dispatch)
+                steps_per_dispatch=args.steps_per_dispatch, pools=pools)
 
         val = None
         if dev_dataset is not None:
             val_state = (strategy.replica_state(state)
                          if args.strategy == "replica_avg" else state)
             val = trainer.validate(val_state, dev_dataset,
-                                   num_batches=args.validate_batches)
+                                   num_batches=args.validate_batches,
+                                   pools=dev_pools)
             log.info("Epoch %d :: train loss %.5f valid loss %.5f",
                      e + 1, avg_loss, val)
             if (args.keep_best and is_lead and np.isfinite(val)

@@ -29,10 +29,23 @@ class ReverbWithImpulseResponse:
         self.normalize_output = normalize_output
         self.use_native = use_native and native.available()
 
-    def __call__(self, wav: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    def sample(self, rng: np.random.Generator, n: int):
+        """Draw this transform's decision (or None): the RIR index.
+
+        Split from ``apply`` so a recipe sampler can record decisions
+        without touching audio (device-side materialization); the rng
+        call order matches the fused ``__call__`` path exactly.
+        """
         if rng.uniform() >= self.p:
+            return None
+        return int(rng.integers(len(self.rir_pool)))
+
+    def __call__(self, wav: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+        return self.apply(wav, self.sample(rng, len(wav)))
+
+    def apply(self, wav: np.ndarray, idx) -> np.ndarray:
+        if idx is None:
             return wav
-        idx = int(rng.integers(len(self.rir_pool)))
         rir = self.rir_pool[idx]
         if self.use_native:
             return native.fft_convolve_trunc(
@@ -57,14 +70,28 @@ class NoiseMix:
         self.max_snr = max_snr
         self.use_native = use_native and native.available()
 
-    def __call__(self, wav: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    def sample(self, rng: np.random.Generator, n: int):
+        """Decision tuple (noise_idx, start, snr) or None; rng order matches
+        the fused ``__call__`` path (start is drawn only when the noise cut
+        is at least window-length, as before)."""
         if rng.uniform() >= self.p:
-            return wav
-        noise = self.noise_pool[rng.integers(len(self.noise_pool))]
-        n = len(wav)
+            return None
+        idx = int(rng.integers(len(self.noise_pool)))
+        noise = self.noise_pool[idx]
         start = (int(rng.integers(0, len(noise) - n + 1))
                  if len(noise) >= n else 0)
         snr = float(rng.uniform(self.min_snr, self.max_snr))
+        return idx, start, snr
+
+    def __call__(self, wav: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+        return self.apply(wav, self.sample(rng, len(wav)))
+
+    def apply(self, wav: np.ndarray, decision) -> np.ndarray:
+        if decision is None:
+            return wav
+        idx, start, snr = decision
+        noise = self.noise_pool[idx]
+        n = len(wav)
         if self.use_native:
             return native.add_noise_snr(wav, noise, start, snr)
         if len(noise) >= n:

@@ -32,6 +32,13 @@ class Utterance:
             return self.array
         return read_wav(self.path)[0]
 
+    def num_samples(self) -> int:
+        """Exact sample count without decoding audio (wav header read)."""
+        if self.array is not None:
+            return len(self.array)
+        with wave.open(str(self.path), "rb") as w:
+            return w.getnframes()
+
 
 def read_wav(path: str):
     """Load a (mono or multichannel) PCM wav as float32 in [-1, 1]."""

@@ -117,14 +117,58 @@ class MixtureSynthesizer:
     def __iter__(self):
         return self
 
-    def __next__(self) -> Dict[str, np.ndarray]:
-        rng = self.rng
+    def _next_window_bucket(self) -> float:
+        """Sample the batch's window size (held for `window_group` batches)."""
         if self._group_left <= 0:
             self._group_window = self.window_buckets[
-                rng.integers(len(self.window_buckets))]
+                self.rng.integers(len(self.window_buckets))]
             self._group_left = self.window_group
         self._group_left -= 1
-        window_size = self._group_window
+        return self._group_window
+
+    def _sample_mixture(self, rng, window_size: float):
+        """One mixture draw: K distinct speakers, one cut each, offsets.
+
+        Returns (cuts, offs, mix_end_t) or None when the mixture cannot
+        fill one window. Pure decision sampling — no audio is decoded
+        (lengths come from `Utterance.num_samples`), so the same draw
+        feeds both host materialization and device-side materialization
+        with an identical rng stream.
+        """
+        spk_idx = rng.choice(len(self.corpus.speakers), self.num_speakers,
+                             replace=False)
+        cuts = []
+        for si in spk_idx:
+            utts = self.corpus.by_speaker[self.corpus.speakers[si]]
+            cuts.append(utts[rng.integers(len(utts))])
+        # the longest utterance anchors the mixture (separation.py:187-189)
+        cuts.sort(key=lambda c: -c.duration)
+        base = cuts[0]
+        # others start uniformly in [0, base_dur/2] (separation.py:192)
+        offs = [0] + [int(rng.uniform(0, base.duration / 2) * self.sr)
+                      for _ in cuts[1:]]
+        mix_len = max(o + c.num_samples() for o, c in zip(offs, cuts))
+        mix_end_t = mix_len / self.sr
+        if mix_end_t < window_size:
+            return None
+        return cuts, offs, mix_end_t
+
+    def _batch_fill_error(self, window_size: float) -> RuntimeError:
+        return RuntimeError(
+            f"could not fill a batch: no sampled mixture reaches the "
+            f"{window_size:.2f}s window (longest utterances are "
+            f"shorter than the window?) — lower --min-window-size "
+            f"or provide longer utterances")
+
+    def _accumulate_overlap(self, cuts, offs):
+        """Overlap seconds of the non-anchor cuts against the anchor."""
+        base = cuts[0]
+        return sum(min(c.duration, base.duration - o / self.sr)
+                   for c, o in zip(cuts[1:], offs[1:]))
+
+    def __next__(self) -> Dict[str, np.ndarray]:
+        rng = self.rng
+        window_size = self._next_window_bucket()
         win = int(window_size * self.sr)
         k_spk = self.num_speakers
         mixes = []
@@ -134,37 +178,20 @@ class MixtureSynthesizer:
         failed_attempts = 0
         while len(mixes) < self.batch_size:
             if failed_attempts > 10000:
-                raise RuntimeError(
-                    f"could not fill a batch: no sampled mixture reaches the "
-                    f"{window_size:.2f}s window (longest utterances are "
-                    f"shorter than the window?) — lower --min-window-size "
-                    f"or provide longer utterances")
-            spk_idx = rng.choice(len(self.corpus.speakers), k_spk,
-                                 replace=False)
-            cuts = []
-            for si in spk_idx:
-                utts = self.corpus.by_speaker[self.corpus.speakers[si]]
-                cuts.append(utts[rng.integers(len(utts))])
-            # the longest utterance anchors the mixture (separation.py:187-189)
-            cuts.sort(key=lambda c: -c.duration)
-            base = cuts[0]
-            waves = [c.load() for c in cuts]
-            # others start uniformly in [0, base_dur/2] (separation.py:192)
-            offs = [0] + [int(rng.uniform(0, base.duration / 2) * self.sr)
-                          for _ in cuts[1:]]
-            mix_len = max(o + len(w) for o, w in zip(offs, waves))
-            mix_end_t = mix_len / self.sr
-            if mix_end_t < window_size:
+                raise self._batch_fill_error(window_size)
+            drawn = self._sample_mixture(rng, window_size)
+            if drawn is None:
                 failed_attempts += 1
                 continue
+            cuts, offs, mix_end_t = drawn
             # accumulate stats only for ACCEPTED draws so 'ovl' reflects
             # the audio actually emitted
             total_length += mix_end_t
-            for c, o in zip(cuts[1:], offs[1:]):
-                total_overlap += min(c.duration,
-                                     base.duration - o / self.sr)
+            total_overlap += self._accumulate_overlap(cuts, offs)
+            waves = [c.load() for c in cuts]
             num_windows = int(mix_end_t / window_size)
             usable = num_windows * win
+            mix_len = max(o + len(w) for o, w in zip(offs, waves))
             if self._use_native:
                 mixw, srcs_arr = native.mix_and_window_k(
                     waves, offs, win, num_windows)
@@ -196,4 +223,113 @@ class MixtureSynthesizer:
         }
         for i, s_list in enumerate(srcs):
             batch[f"source{i + 1}"] = np.stack(s_list)
+        return batch
+
+    # ------------------------------------------------------- recipe protocol
+    def _utt_global_index(self, cut) -> int:
+        if not hasattr(self, "_utt_idx_map"):
+            self._utt_idx_map = {
+                id(u): i for i, u in enumerate(self.corpus.utterances)}
+        return self._utt_idx_map[id(cut)]
+
+    def sample_recipe(self) -> Dict[str, np.ndarray]:
+        """One batch of mixing DECISIONS — no audio is touched.
+
+        Same sampling semantics and rng call order as `__next__` (pinned by
+        tests), but the result is a few hundred bytes of indices/offsets:
+        per window, the K utterance ids and window-start offsets in each
+        utterance's coordinates, plus the augmentation decisions (RIR index,
+        noise index/start/SNR). Feed to `materialize_recipe_host` for the
+        numpy batch or to `css_tpu.data.device_mixer` to synthesize the
+        batch ON the accelerator — the TPU-first answer to the reference's
+        host-I/O-bound mixing pipeline (css README.md:13-14).
+        """
+        from css_tpu.data.augment import NoiseMix, ReverbWithImpulseResponse
+
+        rng = self.rng
+        window_size = self._next_window_bucket()
+        win = int(window_size * self.sr)
+        b, k = self.batch_size, self.num_speakers
+        utt = np.zeros((b, k), np.int32)
+        start = np.zeros((b, k), np.int32)
+        rir_on = np.zeros(b, bool)
+        rir_idx = np.zeros(b, np.int32)
+        noise_on = np.zeros(b, bool)
+        noise_idx = np.zeros(b, np.int32)
+        noise_start = np.zeros(b, np.int32)
+        snr = np.zeros(b, np.float32)
+        total_length = 0.0
+        total_overlap = 0.0
+        failed_attempts = 0
+        rows = 0
+        while rows < b:
+            if failed_attempts > 10000:
+                raise self._batch_fill_error(window_size)
+            drawn = self._sample_mixture(rng, window_size)
+            if drawn is None:
+                failed_attempts += 1
+                continue
+            cuts, offs, mix_end_t = drawn
+            total_length += mix_end_t
+            total_overlap += self._accumulate_overlap(cuts, offs)
+            ids = [self._utt_global_index(c) for c in cuts]
+            num_windows = int(mix_end_t / window_size)
+            for wi in range(num_windows):
+                utt[rows] = ids
+                start[rows] = [wi * win - o for o in offs]
+                for tr in self.transforms:  # rng order == __next__'s
+                    d = tr.sample(rng, win)
+                    if isinstance(tr, ReverbWithImpulseResponse):
+                        if d is not None:
+                            rir_on[rows], rir_idx[rows] = True, d
+                    elif isinstance(tr, NoiseMix):
+                        if d is not None:
+                            noise_on[rows] = True
+                            noise_idx[rows], noise_start[rows], snr[rows] = d
+                rows += 1
+                if rows >= b:
+                    break
+        return {
+            "utt": utt, "start": start,
+            "rir_on": rir_on, "rir_idx": rir_idx,
+            "noise_on": noise_on, "noise_idx": noise_idx,
+            "noise_start": noise_start, "snr": snr,
+            "win": win,
+            "ovl": np.float32(total_overlap / max(total_length, 1e-9)),
+        }
+
+    def materialize_recipe_host(self, recipe) -> Dict[str, np.ndarray]:
+        """Numpy materialization of a recipe — bit-compatible with
+        `__next__` given the same rng stream (pinned by tests)."""
+        from css_tpu.data.augment import NoiseMix, ReverbWithImpulseResponse
+
+        win = int(recipe["win"])
+        b, k = recipe["utt"].shape
+        srcs = np.zeros((k, b, win), np.float32)
+        mix = np.zeros((b, win), np.float32)
+        for bi in range(b):
+            for ki in range(k):
+                w = self.corpus.utterances[int(recipe["utt"][bi, ki])].load()
+                a = int(recipe["start"][bi, ki])
+                lo, hi = max(0, a), min(len(w), a + win)
+                if hi > lo:
+                    srcs[ki, bi, lo - a : hi - a] = w[lo:hi]
+            m = srcs[:, bi].sum(axis=0)
+            for tr in self.transforms:
+                if isinstance(tr, ReverbWithImpulseResponse):
+                    m = tr.apply(m, int(recipe["rir_idx"][bi])
+                                 if recipe["rir_on"][bi] else None)
+                elif isinstance(tr, NoiseMix):
+                    m = tr.apply(m, (int(recipe["noise_idx"][bi]),
+                                     int(recipe["noise_start"][bi]),
+                                     float(recipe["snr"][bi]))
+                                 if recipe["noise_on"][bi] else None)
+            mix[bi] = m
+        batch = {
+            "mix": mix,
+            "lens": np.full(b, win, np.int32),
+            "ovl": recipe["ovl"],
+        }
+        for ki in range(k):
+            batch[f"source{ki + 1}"] = srcs[ki]
         return batch

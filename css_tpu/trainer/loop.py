@@ -94,20 +94,22 @@ class Trainer:
         self._eval_step = jax.jit(self._eval_step_impl)
 
     # ---------------------------------------------------------------- setup
-    def init_state(self, rng, example_batch) -> TrainState:
+    def init_state(self, rng, example_batch, pools=None) -> TrainState:
         example_batch = {
             k: v for k, v in example_batch.items()
-            if k == "mix" or (k.startswith("source") and k[6:].isdigit())}
+            if k == "mix" or (k.startswith("source") and k[6:].isdigit())
+            or k.startswith("dm_")}
 
         # jit the whole init: eager per-op dispatch is pathological on
         # remote/tunneled TPU backends
         @jax.jit
-        def init_fn(rng, batch):
-            feats = self._featurize(batch)
+        def init_fn(rng, batch, pools):
+            feats = self._featurize(batch, pools)
             return self.model.init(
                 {"params": rng, "dropout": rng}, feats["input"], train=True)
 
-        variables = init_fn(rng, jax.tree.map(jnp.asarray, example_batch))
+        variables = init_fn(rng, jax.tree.map(jnp.asarray, example_batch),
+                            pools)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
         opt_state = self.tx.init(params)
@@ -128,8 +130,17 @@ class Trainer:
                 if k.startswith("source") and k[6:].isdigit()]
         return sorted(keys, key=lambda k: int(k[6:]))
 
-    def _featurize(self, batch) -> Dict[str, jax.Array]:
-        """Raw waveforms -> model inputs + objective targets (on device)."""
+    def _featurize(self, batch, pools=None) -> Dict[str, jax.Array]:
+        """Raw waveforms -> model inputs + objective targets (on device).
+
+        Encoded mixing recipes (device-mix mode) are materialized into
+        waveforms on-chip first; `pools` are the device-resident audio
+        pools from `DeviceMixer.device_pools()`.
+        """
+        if "dm_src" in batch:
+            from css_tpu.data.device_mixer import materialize
+
+            batch = materialize(pools, batch)
         src = self.source_keys(batch)
         if self.input_domain == "time":
             return {"input": batch["mix"], **{k: batch[k] for k in src}}
@@ -159,13 +170,13 @@ class Trainer:
         loss, aux = self.objective(out, feats)
         return loss, (aux, new_stats)
 
-    def _train_step_impl(self, state: TrainState, batch, rng):
+    def _train_step_impl(self, state: TrainState, batch, rng, pools=None):
         # derive the per-step dropout key INSIDE the program: callers pass
         # one fixed epoch key and the step counter provides freshness, so
         # the host never dispatches a per-step jax.random.split (a separate
         # tiny device program per step — measurable over remote backends)
         rng = jax.random.fold_in(rng, state.step)
-        feats = self._featurize(batch)
+        feats = self._featurize(batch, pools)
         grad_fn = jax.value_and_grad(self._loss_fn, has_aux=True)
         (loss, (aux, new_stats)), grads = grad_fn(
             state.params, state.batch_stats, feats, rng, True)
@@ -194,7 +205,7 @@ class Trainer:
             metrics,
         )
 
-    def _train_multi_impl(self, state: TrainState, batches, rng):
+    def _train_multi_impl(self, state: TrainState, batches, rng, pools=None):
         """G train steps in ONE device program (lax.scan over the leading
         axis of stacked batches).
 
@@ -206,12 +217,12 @@ class Trainer:
         epoch key inside the scan body.
         """
         def body(s, b):
-            return self._train_step_impl(s, b, rng)
+            return self._train_step_impl(s, b, rng, pools)
 
         return jax.lax.scan(body, state, batches)
 
-    def _eval_step_impl(self, state: TrainState, batch):
-        feats = self._featurize(batch)
+    def _eval_step_impl(self, state: TrainState, batch, pools=None):
+        feats = self._featurize(batch, pools)
         loss, (aux, _) = self._loss_fn(
             state.params, state.batch_stats, feats,
             jax.random.PRNGKey(0), False)
@@ -243,10 +254,17 @@ class Trainer:
                 out[k] = jnp.stack([jnp.asarray(p) for p in parts])
         return out
 
+    @staticmethod
+    def _batch_geometry(batch):
+        """(batch_size, window_samples) for audio AND encoded-recipe batches."""
+        if "mix" in batch:
+            return batch["mix"].shape[0], batch["mix"].shape[1]
+        return batch["dm_src"].shape[0], batch["dm_winmark"].shape[-1]
+
     def train_one_epoch(self, state: TrainState, loader, batches_per_epoch: int,
                         rng, log_fn: Optional[Callable] = None,
                         sr: int = 16000, log_every: int = 50,
-                        steps_per_dispatch: int = 1):
+                        steps_per_dispatch: int = 1, pools=None):
         """Fixed-size epoch (train.py:92 batches-per-epoch semantics).
 
         Returns (state, avg_loss). Fully asynchronous: per-step metrics
@@ -282,16 +300,16 @@ class Trainer:
                 group.append(batch)
             stacked = self._stack_group(group) if g > 1 else None
             if stacked is not None:
-                state, metrics = self._train_multi(state, stacked, rng)
+                state, metrics = self._train_multi(state, stacked, rng, pools)
                 loss_chunks.append(metrics["loss"])  # (g,) device, no sync
             else:
                 for batch in group:
-                    state, metrics = self._train_step(state, batch, rng)
+                    state, metrics = self._train_step(state, batch, rng, pools)
                     loss_scalars.append(metrics["loss"])  # device, no sync
             done += g
-            bsize = group[-1]["mix"].shape[0]
+            bsize = self._batch_geometry(group[-1])[0]
             interval_audio += sum(
-                b["mix"].shape[0] * b["mix"].shape[1] for b in group) / sr
+                b * n for b, n in map(self._batch_geometry, group)) / sr
             if log_fn is not None and (done >= next_log
                                        or done == batches_per_epoch):
                 m = jax.device_get(metrics)  # sync: device caught up to here
@@ -320,7 +338,8 @@ class Trainer:
             total += float(jnp.sum(jnp.concatenate(loss_chunks)))
         return state, total / batches_per_epoch
 
-    def validate(self, state: TrainState, loader, num_batches: int = 100):
+    def validate(self, state: TrainState, loader, num_batches: int = 100,
+                 pools=None):
         """Eval loop (css/trainer/iteration_types.py:67-77)."""
         it = iter(loader)
         losses = []
@@ -328,5 +347,5 @@ class Trainer:
             batch = next(it)
             batch.pop("ovl", None)
             batch.pop("lens", None)
-            losses.append(self._eval_step(state, batch))  # no per-batch sync
+            losses.append(self._eval_step(state, batch, pools))  # no per-batch sync
         return float(jnp.mean(jnp.stack(losses)))

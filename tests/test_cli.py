@@ -169,3 +169,39 @@ def test_causal_train_and_hop_streaming_cli(tmp_path):
             "--model", "BLSTM", "--corpus-dir", str(wav_dir),
             "--out-dir", str(tmp_path / "out2"), "--streaming",
             "--stream-mode", "hop"])
+
+
+def test_device_mix_train_cli(tmp_path):
+    """--device-mix: recipes stream to the chip, audio stays in HBM pools.
+
+    Trains the same tiny BLSTM twice — host mixing vs device mixing with
+    identical seeds — and checks device-mix reaches the same loss scale
+    and writes a resumable checkpoint (the two paths share the sampling
+    stream, so losses match step-for-step within fp32 fft tolerance).
+    """
+    from css_tpu.cli import train
+
+    base = [
+        "--model", "BLSTM", "--objective", "MSE",
+        "--synthetic-data", "--batch-size", "4", "--batches-per-epoch", "4",
+        "--num-epochs", "1", "--optim", "adam", "--lr", "1e-3",
+        "--warmup", "2", "--blstm-hdim", "16", "--blstm-num-layers", "1",
+        "--min-window-size", "2", "--max-window-size", "2",
+        "--validate-batches", "2", "--num-workers", "1",
+        "--synthetic-rirs", "--job", "1", "--seed", "0",
+        "--steps-per-dispatch", "2",
+    ]
+    host_dir, dev_dir = tmp_path / "host", tmp_path / "dev"
+    train.main(["--expdir", str(host_dir)] + base)
+    train.main(["--expdir", str(dev_dir), "--device-mix"] + base)
+    host_log = [json.loads(l)
+                for l in (host_dir / "train.1.jsonl").read_text().splitlines()]
+    dev_log = [json.loads(l)
+               for l in (dev_dir / "train.1.jsonl").read_text().splitlines()]
+    assert (dev_dir / "1.1.mdl").exists()
+    np.testing.assert_allclose(dev_log[-1]["loss"], host_log[-1]["loss"],
+                               rtol=1e-3)
+    # resume continues under device-mix
+    train.main(["--expdir", str(dev_dir), "--device-mix"] + base
+               + ["--resume", "1.1.mdl"])
+    assert (dev_dir / "2.1.mdl").exists()
