@@ -231,8 +231,13 @@ def main(argv=None):
             factory=make_train_stream,
             num_threads=args.num_workers,
             # stage batches on device ahead of the step (async transfer
-            # overlaps with compute); dp/replica_avg shard on their own
-            device=(jax.devices()[0] if args.strategy == "single" else None))
+            # overlaps with compute); dp/replica_avg shard on their own.
+            # Recipe batches (device-mix) stay host-side: they are a few
+            # hundred bytes and per-array device_put round-trips would cost
+            # more than letting the step dispatch carry them inline
+            device=(jax.devices()[0]
+                    if args.strategy == "single" and not args.device_mix
+                    else None))
     else:
         dataset = make_train_stream()
     if dev_dmix is not None:
