@@ -209,13 +209,16 @@ def main(argv=None):
         conf["noise_pool"] = synthetic_noise_pool()
     dmix = dev_dmix = None
     if args.device_mix:
-        if args.strategy != "single" or n_proc > 1:
-            raise SystemExit("--device-mix currently supports the "
-                             "single-device strategy in one process")
+        if n_proc > 1:
+            raise SystemExit("--device-mix is not yet wired for multi-host "
+                             "runs (per-process recipe feeding is untested)")
         from css_tpu.data.device_mixer import DeviceMixer
 
         dmix = DeviceMixer(build_dataset(args.dataset, corpus, conf))
-        if dev_corpus is not None:
+        # validation stays device-mixed only in the single strategy: mesh
+        # strategies hold mesh-global state and the eval step would mix
+        # committed placements with default-device pools
+        if dev_corpus is not None and args.strategy == "single":
             dev_dmix = DeviceMixer(build_dataset(
                 args.dataset, dev_corpus, {**conf, "seed": 12345}))
 
@@ -282,15 +285,18 @@ def main(argv=None):
         if args.tp > 1:
             if args.model != "Conformer":
                 raise SystemExit("--tp>1 currently supports Conformer only")
-            tmp = trainer.init_state(rng, example)
+            tmp = trainer.init_state(
+                rng, example, dmix.device_pools() if dmix else None)
             tp_spec = conformer_tp_spec(tmp.params)
-        strategy = DataParallel(trainer, mesh, tp_spec=tp_spec)
+        strategy = DataParallel(trainer, mesh, tp_spec=tp_spec,
+                                pools=dmix.host_pools if dmix else None)
         state = strategy.init_state(rng, example)
     elif args.strategy == "replica_avg":
         from css_tpu.parallel import ReplicaAveraging, make_mesh
 
         strategy = ReplicaAveraging(trainer, make_mesh(),
-                                    num_replicas=args.num_replicas)
+                                    num_replicas=args.num_replicas,
+                                    pools=dmix.host_pools if dmix else None)
         rngs = jax.random.split(rng, strategy.num_replicas)
         per = {k: v[: max(1, args.batch_size // strategy.num_replicas)]
                for k, v in example.items() if hasattr(v, "ndim") and v.ndim}

@@ -87,6 +87,11 @@ class DeviceMixer:
                 self._host_pools["noise_flat"] = nflat
         self._device_pools = None
 
+    @property
+    def host_pools(self) -> Dict[str, np.ndarray]:
+        """The raw numpy pools (for mesh strategies to place themselves)."""
+        return self._host_pools
+
     def device_pools(self, device=None):
         """Ship pools to the accelerator once; cached."""
         if self._device_pools is None:

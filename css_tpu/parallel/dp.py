@@ -48,14 +48,19 @@ class DataParallel:
     """Shards a Trainer's step over a (data, model) mesh."""
 
     def __init__(self, trainer: Trainer, mesh: Optional[Mesh] = None,
-                 tp_spec=None):
+                 tp_spec=None, pools=None):
         self.trainer = trainer
         self.mesh = mesh if mesh is not None else make_mesh()
         self.tp_spec = tp_spec
+        # device-mix audio pools: replicated over the mesh once; every
+        # device materializes its own batch shard from its local copy
+        self.pools = (global_put(jax.tree.map(jnp.asarray, pools),
+                                 replicate(self.mesh))
+                      if pools is not None else None)
         self._step = jax.jit(trainer._train_step_impl, donate_argnums=(0,))
 
     def init_state(self, rng, example_batch) -> TrainState:
-        state = self.trainer.init_state(rng, example_batch)
+        state = self.trainer.init_state(rng, example_batch, self.pools)
         if self.tp_spec is not None:
             params = shard_params(state.params, self.mesh, self.tp_spec)
             # optimizer moments follow the param sharding automatically
@@ -92,14 +97,14 @@ class DataParallel:
             batch)
 
     def train_step(self, state, batch, rng):
-        return self._step(state, self.shard_batch(batch), rng)
+        return self._step(state, self.shard_batch(batch), rng, self.pools)
 
 
 class ReplicaAveraging:
     """N independent replicas + on-device parameter averaging."""
 
     def __init__(self, trainer: Trainer, mesh: Optional[Mesh] = None,
-                 num_replicas: Optional[int] = None):
+                 num_replicas: Optional[int] = None, pools=None):
         self.trainer = trainer
         self.mesh = mesh if mesh is not None else make_mesh()
         self.num_replicas = (num_replicas if num_replicas is not None
@@ -110,20 +115,25 @@ class ReplicaAveraging:
             self.mesh = make_mesh(
                 data=self.num_replicas, model=1,
                 devices=list(self.mesh.devices.flat)[: self.num_replicas])
-        def vstep(state, batch, rng):
+        self.pools = (global_put(jax.tree.map(jnp.asarray, pools),
+                                 replicate(self.mesh))
+                      if pools is not None else None)
+
+        def vstep(state, batch, rng, pools):
             # per-replica keys derived inside the program (no host-side
             # split per step); per-step freshness comes from the step
             # counter fold_in inside _train_step_impl
             rngs = jax.random.split(rng, self.num_replicas)
             return jax.vmap(trainer._train_step_impl,
-                            in_axes=(0, 0, 0))(state, batch, rngs)
+                            in_axes=(0, 0, 0, None))(state, batch, rngs,
+                                                     pools)
 
         self._vstep = jax.jit(vstep, donate_argnums=(0,))
         self.replica_sharding = NamedSharding(self.mesh, P("data"))
 
     def init_state(self, rngs, example_batch) -> TrainState:
         """rngs: (J,) per-replica PRNG keys -> stacked, sharded state."""
-        states = [self.trainer.init_state(rngs[j], example_batch)
+        states = [self.trainer.init_state(rngs[j], example_batch, self.pools)
                   for j in range(self.num_replicas)]
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
         return global_put(stacked, self.replica_sharding)
@@ -152,7 +162,7 @@ class ReplicaAveraging:
         return jax.device_put(reshaped, self.replica_sharding)
 
     def train_step(self, state, batch, rng):
-        return self._vstep(state, self.shard_batch(batch), rng)
+        return self._vstep(state, self.shard_batch(batch), rng, self.pools)
 
     def average(self, state: TrainState,
                 alive: Optional[np.ndarray] = None) -> TrainState:

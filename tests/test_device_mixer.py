@@ -109,6 +109,82 @@ def test_train_step_recipe_equals_audio():
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=5e-4)
 
 
+def _blstm_trainer():
+    from css_tpu.models import build_model
+    from css_tpu.objectives import build_objective
+    from css_tpu.trainer.loop import Trainer
+    from css_tpu.trainer.lr_schedule import LRSchedule
+
+    model = build_model("BLSTM", {"idim": 257, "hdim": 32, "num_layers": 1,
+                                  "num_spk": 2, "num_noise": 1})
+    return Trainer(model, build_objective("MSE", {}),
+                   LRSchedule(1e-3, 10, 10, 1e-4), optim="adam",
+                   donate=False)
+
+
+def test_data_parallel_with_recipes_matches_audio():
+    """DP fed an encoded recipe == DP fed the host-materialized audio.
+
+    Pools are replicated over the mesh; the recipe's index arrays are
+    sharded over the data axis like any batch, so every device slices its
+    own shard of windows out of its local pool copy."""
+    from css_tpu.parallel import DataParallel, make_mesh
+
+    m = _mixer(seed=41, batch_size=8)
+    dm = DeviceMixer(m)
+    recipe = m.sample_recipe()
+    audio = m.materialize_recipe_host(recipe)
+    audio.pop("ovl"), audio.pop("lens")
+    enc = dm.encode(recipe)
+    enc.pop("ovl")
+
+    rng = jax.random.PRNGKey(0)
+    dp_audio = DataParallel(_blstm_trainer(), make_mesh())
+    dp_recipe = DataParallel(_blstm_trainer(), make_mesh(),
+                             pools=dm.host_pools)
+    s_a = dp_audio.init_state(rng, audio)
+    s_r = dp_recipe.init_state(rng, enc)
+    s_a, m_a = dp_audio.train_step(s_a, audio, rng)
+    s_r, m_r = dp_recipe.train_step(s_r, enc, rng)
+    np.testing.assert_allclose(float(m_r["loss"]), float(m_a["loss"]),
+                               rtol=2e-4)
+    for x, y in zip(jax.tree.leaves(s_a.params), jax.tree.leaves(s_r.params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=5e-4)
+
+
+def test_replica_averaging_with_recipes_matches_audio():
+    """replica_avg fed recipes == fed audio: the vmapped per-replica step
+    materializes each replica's windows from the shared replicated pool."""
+    from css_tpu.parallel import ReplicaAveraging, make_mesh
+
+    m = _mixer(seed=51, batch_size=16)  # 8 replicas x 2
+    dm = DeviceMixer(m)
+    recipe = m.sample_recipe()
+    audio = m.materialize_recipe_host(recipe)
+    audio.pop("ovl"), audio.pop("lens")
+    enc = dm.encode(recipe)
+    enc.pop("ovl")
+
+    rngs = jax.random.split(jax.random.PRNGKey(0), 8)
+    ra_audio = ReplicaAveraging(_blstm_trainer(), make_mesh(),
+                                num_replicas=8)
+    ra_recipe = ReplicaAveraging(_blstm_trainer(), make_mesh(),
+                                 num_replicas=8, pools=dm.host_pools)
+    s_a = ra_audio.init_state(rngs, {k: v[:2] for k, v in audio.items()})
+    s_r = ra_recipe.init_state(rngs, {k: v[:2] for k, v in enc.items()})
+    step_rng = jax.random.PRNGKey(1)
+    s_a, m_a = ra_audio.train_step(s_a, audio, step_rng)
+    s_r, m_r = ra_recipe.train_step(s_r, enc, step_rng)
+    np.testing.assert_allclose(np.asarray(m_r["loss"]),
+                               np.asarray(m_a["loss"]), rtol=1e-3)
+    for x, y in zip(jax.tree.leaves(s_a.params), jax.tree.leaves(s_r.params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=5e-4)
+    # averaging still collapses the replica axis
+    avg = ra_recipe.average(s_r)
+    leaf = np.asarray(jax.tree.leaves(avg.params)[0])
+    np.testing.assert_allclose(leaf[0], leaf[-1], atol=1e-6)
+
+
 def test_multi_dispatch_with_recipes():
     """G stacked recipe batches scan correctly (same window bucket)."""
     from css_tpu.models import build_model
