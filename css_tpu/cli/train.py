@@ -204,14 +204,25 @@ def main(argv=None):
                 raise SystemExit(f"--batch-size {args.batch_size} must be "
                                  f"divisible by {n_proc} processes")
             conf["batch_size"] = args.batch_size // n_proc
+            # all processes must draw IDENTICAL window-bucket sequences —
+            # the global batch assembles with one shape per step — while
+            # content streams stay disjoint (the seed offset above)
+            if conf.get("window_seed") is None:
+                conf["window_seed"] = args.seed + 1000 * args.job
+            if args.num_workers > 1:
+                log.warning("multi-process mesh strategies need lockstep "
+                            "window buckets across processes; forcing "
+                            "--num-workers 1 (prefetch threads interleave "
+                            "nondeterministically)")
+                args.num_workers = 1
     if args.synthetic_rirs:
         conf["rir_pool"] = synthetic_rir_pool()
         conf["noise_pool"] = synthetic_noise_pool()
     dmix = dev_dmix = None
     if args.device_mix:
-        if n_proc > 1:
-            raise SystemExit("--device-mix is not yet wired for multi-host "
-                             "runs (per-process recipe feeding is untested)")
+        if n_proc > 1 and args.strategy == "single":
+            raise SystemExit("--device-mix with multiple processes requires "
+                             "--strategy dp or replica_avg")
         from css_tpu.data.device_mixer import DeviceMixer
 
         dmix = DeviceMixer(build_dataset(args.dataset, corpus, conf))

@@ -49,6 +49,7 @@ class MixtureSynthesizer:
     @staticmethod
     def add_args(parser):
         parser.add_argument("--min-window-size", type=float, default=2.0)
+        parser.add_argument("--window-seed", type=int, default=None)
         parser.add_argument("--max-window-size", type=float, default=4.0)
         parser.add_argument("--window-bucket-step", type=float, default=0.5)
         parser.add_argument("--min-snr", type=float, default=5.0)
@@ -69,6 +70,8 @@ class MixtureSynthesizer:
             seed=int(conf.get("seed", 0)),
             num_speakers=int(conf.get("num_spk", 2)),
             window_group=int(conf.get("steps_per_dispatch", 1)),
+            window_seed=(int(conf["window_seed"])
+                         if conf.get("window_seed") is not None else None),
         )
 
     def __init__(self, corpus: Corpus, batch_size: int = 32,
@@ -78,7 +81,8 @@ class MixtureSynthesizer:
                  min_snr: float = 5.0, max_snr: float = 20.0,
                  reverb_p: float = 0.5, noise_p: float = 0.5,
                  seed: int = 0, use_native: bool = True,
-                 num_speakers: int = 2, window_group: int = 1):
+                 num_speakers: int = 2, window_group: int = 1,
+                 window_seed=None):
         # K-speaker generalization of the reference's 2-speaker sampling
         # (separation.py:184-189): K distinct speakers, the longest
         # utterance anchors, the rest offset uniformly in [0, dur_base/2]
@@ -101,6 +105,14 @@ class MixtureSynthesizer:
         self._group_left = 0
         self._group_window = None
         self.rng = np.random.default_rng(seed)
+        # window-bucket draws can come from a DEDICATED stream so that
+        # cooperating processes (multi-host DP / replica averaging) sample
+        # identical bucket sequences — the global batch must assemble with
+        # ONE shape per step — while their content streams stay disjoint.
+        # Default: draw from the content rng (original single-process
+        # stream, pinned by the recipe-parity tests).
+        self._window_rng = (np.random.default_rng(window_seed)
+                            if window_seed is not None else self.rng)
         self.transforms = []
         if rir_pool:
             from css_tpu.data.augment import ReverbWithImpulseResponse
@@ -121,7 +133,7 @@ class MixtureSynthesizer:
         """Sample the batch's window size (held for `window_group` batches)."""
         if self._group_left <= 0:
             self._group_window = self.window_buckets[
-                self.rng.integers(len(self.window_buckets))]
+                self._window_rng.integers(len(self.window_buckets))]
             self._group_left = self.window_group
         self._group_left -= 1
         return self._group_window

@@ -88,7 +88,9 @@ class DataParallel:
         if jax.process_count() > 1:
             def put(x):
                 x = np.asarray(x)
-                if x.ndim >= 1:
+                # empty leaves (e.g. the recipe window-size marker) carry
+                # shape only — replicate instead of assembling shards
+                if x.ndim >= 1 and x.shape[0]:
                     return jax.make_array_from_process_local_data(data, x)
                 return global_put(x, repl)
             return jax.tree.map(put, batch)

@@ -28,6 +28,33 @@ def deterministic_global_batch(step: int, batch: int, win: int):
     }
 
 
+def local_recipe_stream(pid: int, nproc: int, batch: int, steps: int):
+    """Per-process device-mix stream: a DeviceMixer over the SHARED
+    synthetic corpus (pools identical on every process), a content rng
+    seeded per process (disjoint mixtures), and a SHARED window seed so
+    all processes draw the same bucket sequence (the global batch must
+    assemble with one shape per step). Returns (dmix, [enc_0..enc_steps])
+    where enc_0 is the init example."""
+    from css_tpu.data import SyntheticCorpus
+    from css_tpu.data.corpus import synthetic_noise_pool, synthetic_rir_pool
+    from css_tpu.data.device_mixer import DeviceMixer
+    from css_tpu.data.mixer import MixtureSynthesizer
+
+    corpus = SyntheticCorpus(num_speakers=5, utts_per_speaker=3, seed=1)
+    m = MixtureSynthesizer(
+        corpus, batch_size=batch // nproc, min_window=2.0, max_window=3.0,
+        seed=100 + pid, window_seed=7,
+        rir_pool=synthetic_rir_pool(4),
+        noise_pool=synthetic_noise_pool(2, dur=2.0))
+    dmix = DeviceMixer(m)
+    encs = []
+    for _ in range(steps + 1):
+        enc = dmix.encode(m.sample_recipe())
+        enc.pop("ovl")
+        encs.append(enc)
+    return dmix, encs
+
+
 def build_trainer():
     import jax.numpy as jnp
 
@@ -51,6 +78,7 @@ def main():
     parser.add_argument("--steps", type=int, default=4)
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--devices-per-process", type=int, default=2)
+    parser.add_argument("--device-mix", action="store_true")
     args = parser.parse_args()
 
     os.environ["JAX_PLATFORMS"] = "cpu"
@@ -69,21 +97,29 @@ def main():
 
     trainer = build_trainer()
     mesh = make_mesh()  # all global devices
-    dp = DataParallel(trainer, mesh)
 
-    win = 16000 * 2
-    local = args.batch // args.num_processes
-    lo = args.process_id * local
+    if args.device_mix:
+        dmix, encs = local_recipe_stream(
+            args.process_id, args.num_processes, args.batch, args.steps)
+        dp = DataParallel(trainer, mesh, pools=dmix.host_pools)
+        state = dp.init_state(jax.random.PRNGKey(0), encs[0])
+        feed = encs[1:]
+    else:
+        win = 16000 * 2
+        local = args.batch // args.num_processes
+        lo = args.process_id * local
 
-    def local_slice(b):
-        return {k: v[lo : lo + local] for k, v in b.items()}
+        def local_slice(b):
+            return {k: v[lo : lo + local] for k, v in b.items()}
 
-    state = dp.init_state(jax.random.PRNGKey(0),
-                          local_slice(deterministic_global_batch(
-                              0, args.batch, win)))
+        dp = DataParallel(trainer, mesh)
+        state = dp.init_state(jax.random.PRNGKey(0),
+                              local_slice(deterministic_global_batch(
+                                  0, args.batch, win)))
+        feed = [local_slice(deterministic_global_batch(s, args.batch, win))
+                for s in range(args.steps)]
     losses = []
-    for step in range(args.steps):
-        batch = local_slice(deterministic_global_batch(step, args.batch, win))
+    for step, batch in enumerate(feed):
         state, m = dp.train_step(state, batch, jax.random.PRNGKey(step))
         losses.append(float(m["loss"]))
 
