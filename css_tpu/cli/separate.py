@@ -94,9 +94,7 @@ def main(argv=None):
         wav, sr = read_wav(path)
         log.info("Separating %s (%.1fs)", key, np.shape(wav)[-1] / sr)
         if args.streaming:
-            from pathlib import Path as _P
-
-            from css_tpu.data.corpus import write_wav
+            from css_tpu.executor.pipeline import write_streams
 
             push = int(args.push_sec * pipe.sr)
             wav2 = np.atleast_2d(np.asarray(wav, np.float32))
@@ -114,12 +112,7 @@ def main(argv=None):
                         for i in range(0, wav2.shape[-1], push)]
             outs.append(stream.flush())
             full = np.concatenate(outs, axis=-1)
-            out_dir = _P(args.out_dir)
-            out_dir.mkdir(parents=True, exist_ok=True)
-            for i in range(full.shape[0]):
-                o = full[i]
-                write_wav(out_dir / f"{key}_{i}.wav",
-                          o * 0.9 / max(np.abs(o).max(), 1e-12), pipe.sr)
+            write_streams(key, full, args.out_dir, pipe.sr)
         else:
             pipe.process_recording(key, wav, args.out_dir)
         total_audio += np.shape(wav)[-1] / sr

@@ -233,6 +233,14 @@ def main(argv=None):
             dev_dmix = DeviceMixer(build_dataset(
                 args.dataset, dev_corpus, {**conf, "seed": 12345}))
 
+    if args.num_workers > 1:
+        # producer threads must draw IDENTICAL window-bucket sequences:
+        # the consumer-side regrouping in PrefetchLoader can only assemble
+        # same-shape runs for multi-step dispatch if the interleaved
+        # streams agree on the bucket schedule
+        if conf.get("window_seed") is None:
+            conf["window_seed"] = args.seed + 1000 * args.job
+
     def make_train_stream(i=0):
         ds = build_dataset(args.dataset, corpus,
                            {**conf, "seed": conf["seed"] + 7 * i})
@@ -251,7 +259,10 @@ def main(argv=None):
             # more than letting the step dispatch carry them inline
             device=(jax.devices()[0]
                     if args.strategy == "single" and not args.device_mix
-                    else None))
+                    else None),
+            # emit same-shape runs so steps_per_dispatch stacking holds
+            group=(args.steps_per_dispatch
+                   if args.strategy == "single" else 1))
     else:
         dataset = make_train_stream()
     if dev_dmix is not None:

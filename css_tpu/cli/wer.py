@@ -87,7 +87,12 @@ def main(argv=None):
     total_err = 0
     total_words = 0
     for key, ref_texts in sorted(refs.items()):
-        stream_wavs = sorted(est_dir.glob(f"{key}_*.wav"))
+        # explicit {key}_{i}.wav indices — a glob on f"{key}_*" would also
+        # match other keys that have this key as a prefix (cli.evaluate
+        # discovers streams the same way)
+        stream_wavs = []
+        while (est_dir / f"{key}_{len(stream_wavs)}.wav").exists():
+            stream_wavs.append(est_dir / f"{key}_{len(stream_wavs)}.wav")
         if not stream_wavs:
             raise SystemExit(f"no separated streams for key {key!r} "
                              f"in {est_dir}")

@@ -74,6 +74,9 @@ class DeviceMixer:
                 for i, r in enumerate(tr.rir_pool):
                     mat[i, : len(r)] = r
                 self._host_pools["rir_mat"] = mat
+                # parity with the host transform's normalize_output flag
+                self._host_pools["rir_norm"] = np.float32(
+                    1.0 if tr.normalize_output else 0.0)
             elif isinstance(tr, NoiseMix):
                 # tile short cuts to >= max_win so entry[:win] equals the
                 # host path's np.tile(noise, reps)[:win] for every bucket
@@ -179,8 +182,10 @@ def materialize(pools, batch) -> Dict:
         rev = jnp.fft.irfft(spec * rspec[batch["dm_rir"]], nfft)[:, :win]
         in_e = jnp.sqrt(jnp.mean(mix**2, -1, keepdims=True) + 1e-16)
         out_e = jnp.sqrt(jnp.mean(rev**2, -1, keepdims=True) + 1e-16)
-        mix = jnp.where(batch["dm_rir_on"][:, None] > 0,
-                        rev * (in_e / out_e), mix)
+        # honor the host transform's normalize_output flag (augment.py:54)
+        scale = jnp.where(pools.get("rir_norm", jnp.float32(1.0)) > 0,
+                          in_e / out_e, 1.0)
+        mix = jnp.where(batch["dm_rir_on"][:, None] > 0, rev * scale, mix)
     if "noise_flat" in pools:
         nflat = pools["noise_flat"]
 

@@ -43,6 +43,13 @@ class Beamformer:
         extra_samples: int = 256,
         diag_loading: float = 1e-15,
     ):
+        # accept the reference's asteroid class names (conf/config_1ch.yaml:21)
+        # so every entry point — offline pipeline, streaming, sharded —
+        # normalizes identically
+        if "mvdr" in bf_type.lower():
+            bf_type = "souden_mvdr"
+        elif "mask" in bf_type.lower():
+            bf_type = "masking"
         self.bf_type = bf_type
         self.sr = sr
         self.n_fft = n_fft

@@ -71,14 +71,8 @@ class CssPipeline:
             wta_floor=float(bf.get("wta_thresh", 1e-4)),
             num_spk=num_spk,
         )
-        bf_type = bf.get("type", "souden_mvdr")
-        # accept the reference's asteroid class names (conf/config_1ch.yaml:21)
-        if "mvdr" in bf_type.lower():
-            bf_type = "souden_mvdr"
-        elif "mask" in bf_type.lower():
-            bf_type = "masking"
         self.beamformer = Beamformer(
-            bf_type=bf_type,
+            bf_type=bf.get("type", "souden_mvdr"),
             sr=self.sr,
             n_fft=int(bf.get("n_fft", 512)),
             hop_length=int(bf.get("hop_size", 256)),
@@ -118,3 +112,18 @@ class CssPipeline:
         for i, out in enumerate(outs):
             write_wav(out_dir / f"{key}_{i}.wav", out, self.sr)
         return outs
+
+
+def write_streams(key: str, streams: np.ndarray, out_dir, sr: int,
+                  peak: float = 0.9):
+    """Write {key}_{i}.wav per stream, peak-normalized to `peak`.
+
+    The streaming pipelines cannot normalize incrementally (a causal
+    system never knows the global peak), so their CLI surface normalizes
+    at write time — same naming and peak target as the offline path
+    (beamformer output normalization)."""
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    for i, o in enumerate(np.asarray(streams)):
+        write_wav(out_dir / f"{key}_{i}.wav",
+                  o * peak / max(np.abs(o).max(), 1e-12), sr)

@@ -32,7 +32,7 @@ each additional ``hop`` of audio then emits ``hop`` seconds of output.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np
@@ -88,25 +88,43 @@ class StreamingCssPipeline:
         self.perm_table = permutations_array(num_spk)  # (K!, K)
 
         # ----- carried state -----
-        self._audio: List[np.ndarray] = []  # pushed chunks, (D?, n)
-        self._buffered = 0  # total samples buffered
+        # Buffers are BOUNDED: anything older than the next unemitted
+        # beamform window is final and gets pruned, so memory and per-push
+        # cost stay O(window + lookahead) no matter how long the stream
+        # runs. `_base` / `_frame_base` are the absolute positions of the
+        # retained buffers' first sample / frame.
+        self._buf: Optional[np.ndarray] = None  # (D, n) retained audio
+        self._base = 0  # absolute sample index of _buf[:, 0]
+        self._buffered = 0  # TOTAL samples pushed (absolute)
         self._n_sep = 0  # separator windows processed
         self._prev_margin: Optional[np.ndarray] = None  # (M, F, K) energies
         self._assign = np.arange(num_spk)  # running stream assignment (K,)
         # stitched-mask accumulators, frame-major, grown as windows land
         self._mask_sum: Optional[np.ndarray] = None  # (T_frames, F, S)
         self._mask_cnt: Optional[np.ndarray] = None  # (T_frames,)
+        self._frame_base = 0  # absolute frame index of _mask_sum[0]
         self._n_bf = 0  # beamform windows emitted
         self._flushed = False
 
     # ------------------------------------------------------------- buffering
-    def _audio_array(self) -> np.ndarray:
-        """(D, total) of everything pushed so far."""
-        if not self._audio:
-            return np.zeros((1, 0), np.float32)
-        chunks = [np.atleast_2d(np.asarray(c, np.float32))
-                  for c in self._audio]
-        return np.concatenate(chunks, axis=-1)
+    def _audio_slice(self, start: int, n: int) -> np.ndarray:
+        """(D, <=n) of retained audio at ABSOLUTE sample position start."""
+        lo = start - self._base
+        assert lo >= 0, "window starts before the pruned horizon"
+        return self._buf[:, lo : lo + n]
+
+    def _prune(self):
+        """Drop audio/frames no future window can read (all final)."""
+        keep = min(self._n_bf, self._n_sep) * self.hop
+        if self._buf is not None and keep > self._base:
+            self._buf = self._buf[:, keep - self._base :]
+            self._base = keep
+        f_keep = self._n_bf * self.beamformer.mask_hop
+        if self._mask_sum is not None and f_keep > self._frame_base:
+            d = f_keep - self._frame_base
+            self._mask_sum = self._mask_sum[d:]
+            self._mask_cnt = self._mask_cnt[d:]
+            self._frame_base = f_keep
 
     # ------------------------------------------------------------ separation
     def _process_sep_window(self, wav_window: np.ndarray):
@@ -141,7 +159,7 @@ class StreamingCssPipeline:
 
         # accumulate into the stitched overlap-average buffers
         t = m.shape[0]
-        start = self._n_sep * self.hop_frames
+        start = self._n_sep * self.hop_frames - self._frame_base
         end = start + t
         if self._mask_sum is None:
             self._mask_sum = np.zeros((end, *m.shape[1:]), np.float32)
@@ -166,25 +184,24 @@ class StreamingCssPipeline:
             return False
         i = self._n_bf
         need_frames = i * self.beamformer.mask_hop + self.beamformer.mask_win
-        have = (self._mask_sum.shape[0] if final
+        have = (self._frame_base + self._mask_sum.shape[0] if final
                 else self._n_sep * self.hop_frames)
         # the last window additionally needs to KNOW it is last
         audio_needed = i * self.hop + self.win
         return (need_frames <= have
                 and (final or audio_needed + self.hop <= self._buffered))
 
-    def _emit_bf_window(self, audio: np.ndarray, is_last: bool,
-                        total: int) -> np.ndarray:
+    def _emit_bf_window(self, is_last: bool, total: int) -> np.ndarray:
         """Beamform window i and return its finalized partition slice
         (K, n) — the _assemble slicing of the offline beamformer."""
         bf = self.beamformer
         i = self._n_bf
         st = i * self.hop
-        wav_win = audio[:, st : st + self.win]
+        wav_win = self._audio_slice(st, self.win)
         if wav_win.shape[-1] < self.win:  # zero-pad the flush tail
             wav_win = np.pad(wav_win,
                              [(0, 0), (0, self.win - wav_win.shape[-1])])
-        f0 = i * bf.mask_hop
+        f0 = i * bf.mask_hop - self._frame_base
         stitched = (self._mask_sum[f0 : f0 + bf.mask_win]
                     / np.maximum(self._mask_cnt[f0 : f0 + bf.mask_win],
                                  1.0)[:, None, None])  # (T, F, S)
@@ -213,16 +230,17 @@ class StreamingCssPipeline:
         if self._flushed:
             raise RuntimeError("pipeline already flushed")
         samples = np.atleast_2d(np.asarray(samples, np.float32))
-        self._audio.append(samples)
+        self._buf = (samples.copy() if self._buf is None
+                     else np.concatenate([self._buf, samples], axis=-1))
         self._buffered += samples.shape[-1]
-        audio = self._audio_array()
         out = []
         while self._n_sep * self.hop + self.win <= self._buffered:
             st = self._n_sep * self.hop
-            self._process_sep_window(audio[:, st : st + self.win])
+            self._process_sep_window(self._audio_slice(st, self.win))
         while self._bf_ready(final=False):
-            out.append(self._emit_bf_window(audio, is_last=False,
+            out.append(self._emit_bf_window(is_last=False,
                                             total=self._buffered))
+        self._prune()
         return (np.concatenate(out, axis=-1) if out
                 else np.zeros((self.num_spk, 0), np.float32))
 
@@ -232,19 +250,21 @@ class StreamingCssPipeline:
             return np.zeros((self.num_spk, 0), np.float32)
         self._flushed = True
         total = self._buffered
-        audio = self._audio_array()
+        if self._buf is None:
+            self._buf = np.zeros((1, 0), np.float32)
         # pad so sliding windows cover the whole recording, exactly like
         # CssPipeline.process
         n_win = max(1, -(-(total - self.win) // self.hop) + 1)
         needed = (n_win - 1) * self.hop + self.win
         if needed > total:
-            audio = np.pad(audio, [(0, 0), (0, needed - total)])
+            self._buf = np.pad(self._buf,
+                               [(0, 0), (0, needed - total)])
         while self._n_sep < n_win:
             st = self._n_sep * self.hop
-            self._process_sep_window(audio[:, st : st + self.win])
+            self._process_sep_window(self._audio_slice(st, self.win))
         out = []
         while self._n_bf < n_win:
             out.append(self._emit_bf_window(
-                audio, is_last=(self._n_bf == n_win - 1), total=total))
+                is_last=(self._n_bf == n_win - 1), total=total))
         return (np.concatenate(out, axis=-1) if out
                 else np.zeros((self.num_spk, 0), np.float32))

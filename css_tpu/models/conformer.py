@@ -209,7 +209,9 @@ class ConvModule(nn.Module):
         x = self._glu(self.layer_norm(x))
         full = jnp.concatenate([tail.astype(x.dtype), x], axis=1)
         out = self._post(self._dw_conv(full, [(0, 0)]), train=False)
-        return out, full[:, -(self.kernel_size - 1):]
+        # kernel_size=1 carries no context: [-0:] would be the WHOLE array
+        keep = self.kernel_size - 1
+        return out, full[:, full.shape[1] - keep:]
 
 
 class EncoderLayer(nn.Module):

@@ -222,3 +222,24 @@ def test_multi_dispatch_with_recipes():
     for x, y in zip(jax.tree.leaves(s_seq.params),
                     jax.tree.leaves(s_multi.params)):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-5)
+
+
+def test_device_materialize_honors_normalize_output_false():
+    """Host/device parity when the reverb transform does NOT energy-
+    normalize (regression: materialize always rescaled by in_e/out_e)."""
+    from css_tpu.data.augment import ReverbWithImpulseResponse
+
+    m = _mixer(seed=61, augment=True)
+    for tr in m.transforms:
+        if isinstance(tr, ReverbWithImpulseResponse):
+            tr.normalize_output = False
+            tr.p = 1.0  # always reverb: exercise the unnormalized path
+    dm = DeviceMixer(m)
+    pools = dm.device_pools()
+    recipe = m.sample_recipe()
+    host = m.materialize_recipe_host(recipe)
+    enc = dm.encode(recipe)
+    enc.pop("ovl")
+    dev = jax.jit(materialize)(pools, jax.tree.map(jnp.asarray, enc))
+    np.testing.assert_allclose(np.asarray(dev["mix"]), host["mix"],
+                               atol=3e-4)

@@ -260,3 +260,29 @@ def test_causal_conformer_trains():
     state = trainer.init_state(rng, batch)
     state, metrics = trainer._train_step(state, batch, rng)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_causal_conformer_stream_kernel_size_one():
+    """kernel_size=1 carries zero conv context: the carried tail must stay
+    empty instead of accumulating the whole history (regression: [-0:]
+    slicing returned the full array and crashed on the second chunk)."""
+    from css_tpu.models.conformer import Conformer
+
+    model = Conformer(idim=257, num_bins=257, attention_dim=32,
+                      attention_heads=2, linear_units=64, num_blocks=1,
+                      kernel_size=1, dropout_rate=0.0, causal=True,
+                      left_context=8)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, 12, 257)), train=False)
+    x = jnp.asarray(np.random.default_rng(8).standard_normal((1, 24, 257))
+                    .astype(np.float32) ** 2)
+    _, masks_full = model.apply(variables, x, train=False)
+    carry = model.stream_init(1)
+    outs = []
+    for lo, hi in ((0, 6), (6, 12), (12, 24)):
+        m, carry = model.apply(variables, x[:, lo:hi], carry,
+                               method="stream")
+        assert m.shape[1] == hi - lo
+        outs.append(m)
+    np.testing.assert_allclose(np.asarray(jnp.concatenate(outs, axis=1)),
+                               np.asarray(masks_full), rtol=2e-4, atol=2e-5)

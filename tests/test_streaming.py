@@ -68,6 +68,13 @@ def test_streaming_matches_offline():
 
     assert got.shape == (2, len(mix))
     assert emitted_before_end > 0, "no incremental emission before the end"
+    # carried state is BOUNDED: buffers hold only the unfinalized tail
+    # (window + stitch/margin lookahead), independent of stream age
+    bound = 4 * stream.win
+    assert stream._buf.shape[-1] <= bound, (
+        f"audio buffer grew to {stream._buf.shape[-1]} (> {bound}) — "
+        "pruning of finalized audio is broken")
+    assert stream._mask_sum.shape[0] <= 4 * stream.beamformer.mask_win
 
     # match offline — peak normalization is a per-stream scale, so
     # normalizing the streamed output the same way makes them comparable

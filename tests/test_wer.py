@@ -58,3 +58,36 @@ def test_wer_cli_with_fake_asr(tmp_path):
     lines = [json.loads(l) for l in open(out)]
     assert lines[0]["key"] == "rec1" and lines[0]["errors"] == 1
     assert lines[1]["key"] == "rec2" and lines[1]["errors"] == 0
+
+
+def test_wer_prefix_keys_do_not_cross_match(tmp_path):
+    """Keys where one is a prefix of another (rec + rec_b) must not pull
+    each other's streams into scoring (regression: glob f'{key}_*')."""
+    est = tmp_path / "est"
+    est.mkdir()
+    rng = np.random.default_rng(0)
+    transcripts = {
+        "rec_0": "alpha beta gamma",
+        "rec_b_0": "totally different words here",
+    }
+    for name, text in transcripts.items():
+        write_wav(est / f"{name}.wav",
+                  rng.standard_normal(1600).astype(np.float32) * 0.1)
+        (est / f"{name}.txt").write_text(text)
+    refs = tmp_path / "refs.jsonl"
+    with open(refs, "w") as f:
+        # rec's reference matches rec_b's stream exactly — a prefix glob
+        # would steal it and report 0 errors; the indexed discovery must
+        # score rec only against rec_0
+        f.write(json.dumps({"key": "rec",
+                            "text": "totally different words here"}) + "\n")
+        f.write(json.dumps({"key": "rec_b",
+                            "text": "totally different words here"}) + "\n")
+    fake_asr = (f"{sys.executable} -c "
+                "\"import sys,pathlib;"
+                "p=pathlib.Path('{wav}');"
+                "print(p.with_suffix('.txt').read_text())\"")
+    summary = wer.main(["--estimates", str(est), "--references", str(refs),
+                        "--asr-cmd", fake_asr])
+    # rec: 4 errors (vs 'alpha beta gamma' hypothesis); rec_b: 0
+    assert summary["errors"] == 4 and summary["ref_words"] == 8
