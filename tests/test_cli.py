@@ -96,6 +96,26 @@ def test_replica_avg_strategy_cli(tmp_path):
     assert (expdir / "1.1.mdl").exists()
 
 
+def test_mesh_strategies_with_device_mix_cli(tmp_path):
+    """--device-mix composes with dp and replica_avg through the CLI glue
+    (pools to HBM once, recipe batches sharded/reshaped by the strategy),
+    including variable window buckets + augmentation."""
+    from css_tpu.cli import train
+
+    common = [
+        "--model", "BLSTM", "--synthetic-data", "--batch-size", "8",
+        "--batches-per-epoch", "3", "--num-epochs", "1",
+        "--blstm-hdim", "16", "--blstm-num-layers", "1",
+        "--min-window-size", "2", "--max-window-size", "3",
+        "--validate-batches", "2", "--device-mix", "--synthetic-rirs"]
+    for strat, extra in (("dp", []),
+                         ("replica_avg", ["--num-replicas", "4"])):
+        expdir = tmp_path / f"exp_dm_{strat}"
+        train.main(["--expdir", str(expdir), "--strategy", strat]
+                   + extra + common)
+        assert (expdir / "1.1.mdl").exists()
+
+
 def test_dp_strategy_cli(tmp_path):
     from css_tpu.cli import train
 
