@@ -84,6 +84,12 @@ def main(argv=None):
     parser.add_argument("--seed", type=int, default=123)
     parser.add_argument("--num-speakers", type=int, default=6,
                         help="held-out corpus size")
+    parser.add_argument("--corpus-seed", type=int, default=None,
+                        help="override the session corpus seed (e.g. the "
+                             "TRAINING seed for an in-distribution probe)")
+    parser.add_argument("--utts-per-speaker", type=int, default=4)
+    parser.add_argument("--f0-max", type=float, default=None,
+                        help="dense f0 grid upper bound (match training)")
     parser.add_argument("--workdir", default="/tmp/css_tpu_quality")
     parser.add_argument("--beamformer", default="masking")
     parser.add_argument("--skip-oracle", action="store_true")
@@ -101,8 +107,11 @@ def main(argv=None):
 
     # held-out speakers: seed disjoint from training corpora (train uses
     # seed / seed+1000 in cli.train)
-    corpus = SyntheticCorpus(num_speakers=args.num_speakers,
-                             utts_per_speaker=4, seed=args.seed)
+    corpus = SyntheticCorpus(
+        num_speakers=args.num_speakers,
+        utts_per_speaker=args.utts_per_speaker,
+        seed=args.seed if args.corpus_seed is None else args.corpus_seed,
+        f0_max=args.f0_max)
     rng = np.random.default_rng(args.seed)
     oracle = []
     for i in range(args.sessions):
