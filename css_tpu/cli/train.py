@@ -16,6 +16,7 @@ Additions over the reference:
 from __future__ import annotations
 
 import argparse
+import itertools
 import json
 import os
 from pathlib import Path
@@ -204,11 +205,6 @@ def main(argv=None):
                 raise SystemExit(f"--batch-size {args.batch_size} must be "
                                  f"divisible by {n_proc} processes")
             conf["batch_size"] = args.batch_size // n_proc
-            # all processes must draw IDENTICAL window-bucket sequences —
-            # the global batch assembles with one shape per step — while
-            # content streams stay disjoint (the seed offset above)
-            if conf.get("window_seed") is None:
-                conf["window_seed"] = args.seed + 1000 * args.job
             if args.num_workers > 1:
                 log.warning("multi-process mesh strategies need lockstep "
                             "window buckets across processes; forcing "
@@ -233,13 +229,17 @@ def main(argv=None):
             dev_dmix = DeviceMixer(build_dataset(
                 args.dataset, dev_corpus, {**conf, "seed": 12345}))
 
-    if args.num_workers > 1:
-        # producer threads must draw IDENTICAL window-bucket sequences:
-        # the consumer-side regrouping in PrefetchLoader can only assemble
-        # same-shape runs for multi-step dispatch if the interleaved
-        # streams agree on the bucket schedule
+    if (args.num_workers > 1
+            or (n_proc > 1 and args.strategy in ("dp", "replica_avg"))):
+        # producer threads AND cooperating processes must draw IDENTICAL
+        # window-bucket sequences: the consumer-side regrouping (and, for
+        # multi-process runs, the global-batch assembly) needs the
+        # interleaved streams to agree on the bucket schedule. The offset
+        # keeps this stream DISTINCT from every content seed (which use
+        # +7919*pid / +7*worker): a window_seed equal to a content seed
+        # would replay that rng's outputs for the bucket draws.
         if conf.get("window_seed") is None:
-            conf["window_seed"] = args.seed + 1000 * args.job
+            conf["window_seed"] = args.seed + 1000 * args.job + 104729
 
     def make_train_stream(i=0):
         ds = build_dataset(args.dataset, corpus,
@@ -293,9 +293,15 @@ def main(argv=None):
 
     rng = training_rng(args.seed, args.prng_impl)
     example = next(dataset)
+    # re-feed the consumed example so no batch is lost and the loader's
+    # same-shape runs stay aligned for multi-step dispatch grouping
+    dataset = itertools.chain([dict(example)], dataset)
     # device-resident audio pools (device-mix mode): shipped to HBM once,
-    # passed to every step so the compiled program slices them in place
-    pools = dmix.device_pools() if dmix else None
+    # passed to every step so the compiled program slices them in place.
+    # Mesh strategies replicate host_pools over the mesh themselves — a
+    # default-device copy would just pin duplicate HBM
+    pools = (dmix.device_pools()
+             if dmix and args.strategy == "single" else None)
     dev_pools = dev_dmix.device_pools() if dev_dmix else None
 
     strategy = None

@@ -290,14 +290,29 @@ class Trainer:
         interval_audio = 0.0
         done = 0
         next_log = log_every
+        pending = None  # batch held over from a shape change mid-group
         while done < batches_per_epoch:
             g = min(g_max, batches_per_epoch - done)
             group, ovls = [], []
-            for _ in range(g):
-                batch = next(it)
-                ovls.append(batch.pop("ovl", None))
-                batch.pop("lens", None)
+            # pull the MAXIMAL same-geometry run (up to g): fixed-count
+            # chunking would permanently straddle the loader's same-shape
+            # runs after any desync (a consumed example batch, a loader
+            # fallback), downgrading every group to per-step dispatch
+            while len(group) < g:
+                if pending is not None:
+                    batch, ovl = pending
+                    pending = None
+                else:
+                    batch = next(it)
+                    ovl = batch.pop("ovl", None)
+                    batch.pop("lens", None)
+                if group and (self._batch_geometry(batch)
+                              != self._batch_geometry(group[0])):
+                    pending = (batch, ovl)
+                    break
                 group.append(batch)
+                ovls.append(ovl)
+            g = len(group)
             stacked = self._stack_group(group) if g > 1 else None
             if stacked is not None:
                 state, metrics = self._train_multi(state, stacked, rng, pools)

@@ -137,3 +137,53 @@ def test_mixer_window_group():
     for i in range(0, 16, 4):
         assert len(set(wins[i:i + 4])) == 1
     assert len(set(wins)) > 1  # buckets do vary across groups
+
+
+def test_grouping_engages_through_prefetch_loader():
+    """The realistic default path — 2 producer threads, shared window
+    seed, PrefetchLoader(group=G), shape-aware group pulling — must run
+    the large majority of steps through the scanned multi-step program
+    (regression: fixed-count chunking straddled the loader's runs and
+    ~2/3 of dispatches silently fell back to per-step programs)."""
+    from css_tpu.data import PrefetchLoader
+
+    corpus = SyntheticCorpus(num_speakers=4, utts_per_speaker=2,
+                             min_dur=4.5, max_dur=6.0)
+
+    def factory(i):
+        return MixtureSynthesizer(corpus, batch_size=2, min_window=2.0,
+                                  max_window=4.0, bucket_step=1.0,
+                                  seed=100 + i, window_seed=7,
+                                  window_group=4)
+
+    loader = PrefetchLoader(factory=factory, num_threads=2, prefetch=4,
+                            group=4)
+    model = BLSTM(idim=257, num_bins=257, hidden_dim=16, num_layers=1,
+                  dropout_rate=0.0)
+    trainer = _trainer(model)
+    example = next(loader)
+    example.pop("ovl", None), example.pop("lens", None)
+    state = trainer.init_state(jax.random.PRNGKey(0), example)
+
+    calls = {"multi": 0, "single": 0}
+    orig_multi, orig_step = trainer._train_multi, trainer._train_step
+
+    def multi(s, stacked, rng, pools=None):
+        calls["multi"] += int(stacked["mix"].shape[0])
+        return orig_multi(s, stacked, rng, pools)
+
+    def step(s, b, rng, pools=None):
+        calls["single"] += 1
+        return orig_step(s, b, rng, pools)
+
+    trainer._train_multi, trainer._train_step = multi, step
+    n = 24
+    state, _ = trainer.train_one_epoch(state, loader, n,
+                                       jax.random.PRNGKey(1),
+                                       steps_per_dispatch=4)
+    loader.close()
+    assert calls["multi"] + calls["single"] == n
+    frac = calls["multi"] / n
+    assert frac >= 0.66, (
+        f"only {calls['multi']}/{n} steps ran in multi-step dispatch "
+        f"(singles: {calls['single']}) — grouping is not engaging")
