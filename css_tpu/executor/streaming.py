@@ -65,6 +65,8 @@ class StreamingCssPipeline:
             frame_hop=int(sep.get("frame_shift", 256)),
             batch_size=1,
             ipd_index=sep.get("ipd"),
+            merge=bool(sep.get("merge", False)),
+            merge_threshold=float(sep.get("merge_threshold", 16.0)),
             num_spk=num_spk,
         )
         self.beamformer = Beamformer(
