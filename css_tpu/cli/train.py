@@ -50,6 +50,11 @@ def parse_arguments(argv=None):
                              "into [90, f0_max] Hz (dense grid) instead of "
                              "the default 25 Hz ladder — better held-out-"
                              "speaker generalization")
+    parser.add_argument("--synthetic-voice", default="harmonic",
+                        choices=("harmonic", "formant"),
+                        help="synthetic voice model: 'formant' gives each "
+                             "speaker a persistent vocal-tract signature "
+                             "(timbre cue beyond f0, like real talkers)")
     parser.add_argument("--expdir", type=str, required=True)
     parser.add_argument("--model", default="Conformer",
                         choices=sorted(MODELS.keys()))
@@ -146,12 +151,14 @@ def parse_arguments(argv=None):
 
 def build_corpus(args):
     if args.synthetic_data or not args.train_manifest:
+        voice = getattr(args, "synthetic_voice", "harmonic")
         corpus = SyntheticCorpus(seed=args.seed,
                                  num_speakers=args.synthetic_speakers,
                                  utts_per_speaker=args.synthetic_utts,
-                                 f0_max=args.synthetic_f0_max)
+                                 f0_max=args.synthetic_f0_max,
+                                 voice=voice)
         dev = SyntheticCorpus(seed=args.seed + 1000, num_speakers=4,
-                              utts_per_speaker=2)
+                              utts_per_speaker=2, voice=voice)
     else:
         corpus = Corpus.from_manifest(args.train_manifest)
         dev = (Corpus.from_manifest(args.dev_manifest)

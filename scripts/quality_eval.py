@@ -90,6 +90,9 @@ def main(argv=None):
     parser.add_argument("--utts-per-speaker", type=int, default=4)
     parser.add_argument("--f0-max", type=float, default=None,
                         help="dense f0 grid upper bound (match training)")
+    parser.add_argument("--voice", default="harmonic",
+                        choices=("harmonic", "formant"),
+                        help="synthetic voice model (match training)")
     parser.add_argument("--workdir", default="/tmp/css_tpu_quality")
     parser.add_argument("--beamformer", default="masking")
     parser.add_argument("--skip-oracle", action="store_true")
@@ -111,7 +114,7 @@ def main(argv=None):
         num_speakers=args.num_speakers,
         utts_per_speaker=args.utts_per_speaker,
         seed=args.seed if args.corpus_seed is None else args.corpus_seed,
-        f0_max=args.f0_max)
+        f0_max=args.f0_max, voice=args.voice)
     rng = np.random.default_rng(args.seed)
     oracle = []
     for i in range(args.sessions):

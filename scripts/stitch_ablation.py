@@ -64,6 +64,9 @@ def main(argv=None):
     parser.add_argument("--session-sec", type=float, default=60.0)
     parser.add_argument("--seed", type=int, default=123)
     parser.add_argument("--num-speakers", type=int, default=6)
+    parser.add_argument("--f0-max", type=float, default=None)
+    parser.add_argument("--voice", default="harmonic",
+                        choices=("harmonic", "formant"))
     args = parser.parse_args(argv)
 
     import jax.numpy as jnp
@@ -90,7 +93,8 @@ def main(argv=None):
                     n_fft=512, hop_length=256, proceed_margin=2.0)
 
     corpus = SyntheticCorpus(num_speakers=args.num_speakers,
-                             utts_per_speaker=4, seed=args.seed)
+                             utts_per_speaker=4, seed=args.seed,
+                             f0_max=args.f0_max, voice=args.voice)
     rng = np.random.default_rng(args.seed)
     res = {"pipeline": [], "oracle_stitch": [], "irm_oracle": []}
     for _ in range(args.sessions):

@@ -106,3 +106,54 @@ def test_stitcher_single_window():
     r1, r2, rn = [np.asarray(x) for x in st(masks, mags)]
     assert r1.shape == (150, 9)
     assert np.isfinite(r1).all()
+
+
+def test_formant_voice_timbre_signature():
+    """voice="formant" gives each speaker a persistent spectral envelope.
+
+    Speaker identity must be carried by timbre (vocal-tract resonances),
+    not just f0 — the cue that makes close-f0 speaker pairs separable
+    (the catastrophic sessions of the held-out quality protocol,
+    BASELINE.md). Checks: determinism, finite audio, and that the
+    long-term log-spectral envelope is far more similar within a speaker
+    than across speakers.
+    """
+    import itertools
+
+    c1 = SyntheticCorpus(num_speakers=4, utts_per_speaker=3, seed=7,
+                         min_dur=2.0, max_dur=3.0, voice="formant",
+                         f0_max=400)
+    c2 = SyntheticCorpus(num_speakers=4, utts_per_speaker=3, seed=7,
+                         min_dur=2.0, max_dur=3.0, voice="formant",
+                         f0_max=400)
+    for ua, ub in zip(c1.utterances, c2.utterances):
+        assert np.array_equal(ua.array, ub.array)
+        assert np.isfinite(ua.array).all()
+
+    def envelope(x):
+        frames = (np.lib.stride_tricks.sliding_window_view(x, 512)[::256]
+                  * np.hanning(512))
+        e = np.log(np.abs(np.fft.rfft(frames, axis=-1)).mean(0) + 1e-8)
+        return np.convolve(e, np.ones(9) / 9, mode="same")
+
+    def dist(x, y):
+        x, y = x - x.mean(), y - y.mean()
+        return 1 - x @ y / (np.linalg.norm(x) * np.linalg.norm(y))
+
+    envs = {u.utt_id: envelope(u.array) for u in c1.utterances}
+    within, across = [], []
+    for u1, u2 in itertools.combinations(c1.utterances, 2):
+        d = dist(envs[u1.utt_id], envs[u2.utt_id])
+        (within if u1.speaker == u2.speaker else across).append(d)
+    assert np.mean(across) > 3 * np.mean(within), (
+        f"across {np.mean(across):.3f} vs within {np.mean(within):.3f}")
+
+
+def test_voice_models_rng_isolation():
+    """The legacy harmonic corpus is unchanged by the formant code path."""
+    a = SyntheticCorpus(num_speakers=2, utts_per_speaker=2, seed=5,
+                        min_dur=1.0, max_dur=1.5)
+    b = SyntheticCorpus(num_speakers=2, utts_per_speaker=2, seed=5,
+                        min_dur=1.0, max_dur=1.5, voice="harmonic")
+    for ua, ub in zip(a.utterances, b.utterances):
+        assert np.array_equal(ua.array, ub.array)
