@@ -108,25 +108,40 @@ class DeviceMixer:
 
     def encode(self, recipe) -> Dict[str, np.ndarray]:
         """Recipe -> tiny arrays ready for `materialize` (all index math
-        happens here on the host; the device does pure slices)."""
+        happens here on the host; the device does pure slices).
+
+        All fields pack into ONE int32 (B, K+2) and ONE f32 (B, 3) array
+        so a step ships two host->device transfers instead of six — on
+        high-latency links (tunneled dev backends, DCN-attached hosts)
+        per-array RPC overhead dominates these tiny payloads.
+
+        Layout: dm_i[:, :K] = pool offsets of the K source windows;
+        dm_i[:, K] = RIR row; dm_i[:, K+1] = noise pool offset;
+        dm_f[:, 0] = reverb on; dm_f[:, 1] = noise on; dm_f[:, 2] = SNR dB.
+        Unused augmentation columns stay zero (the on-flags gate them).
+        """
         win = int(recipe["win"])
         u = recipe["utt"]
         a = np.clip(recipe["start"], -win, self._utt_len[u])
-        batch = {
-            "dm_src": (self._utt_start[u] + a).astype(np.int32),
+        src = (self._utt_start[u] + a).astype(np.int32)
+        n, k = src.shape
+        ints = np.zeros((n, k + 2), np.int32)
+        flts = np.zeros((n, 3), np.float32)
+        ints[:, :k] = src
+        if "rir_mat" in self._host_pools:
+            ints[:, k] = recipe["rir_idx"]
+            flts[:, 0] = recipe["rir_on"]
+        if "noise_flat" in self._host_pools:
+            ints[:, k + 1] = (self._noise_start[recipe["noise_idx"]]
+                              + recipe["noise_start"])
+            flts[:, 1] = recipe["noise_on"]
+            flts[:, 2] = recipe["snr"]
+        return {
+            "dm_i": ints,
+            "dm_f": flts,
             "dm_winmark": np.zeros((0, win), np.float32),
             "ovl": recipe["ovl"],
         }
-        if "rir_mat" in self._host_pools:
-            batch["dm_rir_on"] = recipe["rir_on"].astype(np.float32)
-            batch["dm_rir"] = recipe["rir_idx"].astype(np.int32)
-        if "noise_flat" in self._host_pools:
-            batch["dm_noise_on"] = recipe["noise_on"].astype(np.float32)
-            batch["dm_noise_s"] = (
-                self._noise_start[recipe["noise_idx"]]
-                + recipe["noise_start"]).astype(np.int32)
-            batch["dm_snr"] = recipe["snr"].astype(np.float32)
-        return batch
 
     def __iter__(self):
         return self
@@ -168,37 +183,37 @@ def materialize(pools, batch) -> Dict:
 
     win = batch["dm_winmark"].shape[-1]
     flat = pools["utt_flat"]
+    ints, flts = batch["dm_i"], batch["dm_f"]
+    k = ints.shape[-1] - 2  # packed layout: [src_0..K-1, rir_idx, noise_s]
 
     def slice1(s):
         return jax.lax.dynamic_slice(flat, (s,), (win,))
 
-    srcs = jax.vmap(jax.vmap(slice1))(batch["dm_src"])  # (B, K, win)
+    srcs = jax.vmap(jax.vmap(slice1))(ints[:, :k])  # (B, K, win)
     mix = jnp.sum(srcs, axis=1)
     if "rir_mat" in pools:
         lr = pools["rir_mat"].shape[-1]
         nfft = 1 << (win + lr - 2).bit_length()  # >= win+lr-1: exact linear conv
         spec = jnp.fft.rfft(mix, nfft)
         rspec = jnp.fft.rfft(pools["rir_mat"], nfft)
-        rev = jnp.fft.irfft(spec * rspec[batch["dm_rir"]], nfft)[:, :win]
+        rev = jnp.fft.irfft(spec * rspec[ints[:, k]], nfft)[:, :win]
         in_e = jnp.sqrt(jnp.mean(mix**2, -1, keepdims=True) + 1e-16)
         out_e = jnp.sqrt(jnp.mean(rev**2, -1, keepdims=True) + 1e-16)
         # honor the host transform's normalize_output flag (augment.py:54)
         scale = jnp.where(pools.get("rir_norm", jnp.float32(1.0)) > 0,
                           in_e / out_e, 1.0)
-        mix = jnp.where(batch["dm_rir_on"][:, None] > 0, rev * scale, mix)
+        mix = jnp.where(flts[:, 0:1] > 0, rev * scale, mix)
     if "noise_flat" in pools:
         nflat = pools["noise_flat"]
 
         def nslice(s):
             return jax.lax.dynamic_slice(nflat, (s,), (win,))
 
-        noise = jax.vmap(nslice)(batch["dm_noise_s"])  # (B, win)
+        noise = jax.vmap(nslice)(ints[:, k + 1])  # (B, win)
         sig_p = jnp.mean(mix**2, -1, keepdims=True) + 1e-12
         noi_p = jnp.mean(noise**2, -1, keepdims=True) + 1e-12
-        scale = jnp.sqrt(sig_p / (noi_p * 10.0 ** (batch["dm_snr"][:, None]
-                                                   / 10.0)))
-        mix = jnp.where(batch["dm_noise_on"][:, None] > 0,
-                        mix + scale * noise, mix)
+        scale = jnp.sqrt(sig_p / (noi_p * 10.0 ** (flts[:, 2:3] / 10.0)))
+        mix = jnp.where(flts[:, 1:2] > 0, mix + scale * noise, mix)
     out = {"mix": mix}
     for k in range(srcs.shape[1]):
         out[f"source{k + 1}"] = srcs[:, k]

@@ -137,7 +137,7 @@ class Trainer:
         waveforms on-chip first; `pools` are the device-resident audio
         pools from `DeviceMixer.device_pools()`.
         """
-        if "dm_src" in batch:
+        if "dm_i" in batch:
             from css_tpu.data.device_mixer import materialize
 
             batch = materialize(pools, batch)
@@ -150,6 +150,13 @@ class Trainer:
 
         fl, fh = self.features.frame_len, self.features.frame_hop
         out = {"input": stft_mag(batch["mix"], fl, fh)}
+        if getattr(self.objective, "needs_waveforms", False):
+            # resynthesis objectives (MaskSNR) differentiate through their
+            # own STFT/iSTFT — hand them the raw waveforms instead of mags
+            out["mix_wav"] = batch["mix"]
+            for k in src:
+                out[k] = batch[k]
+            return out
         for k in src:
             out[k] = stft_mag(batch[k], fl, fh)
         return out
@@ -259,7 +266,7 @@ class Trainer:
         """(batch_size, window_samples) for audio AND encoded-recipe batches."""
         if "mix" in batch:
             return batch["mix"].shape[0], batch["mix"].shape[1]
-        return batch["dm_src"].shape[0], batch["dm_winmark"].shape[-1]
+        return batch["dm_i"].shape[0], batch["dm_winmark"].shape[-1]
 
     def train_one_epoch(self, state: TrainState, loader, batches_per_epoch: int,
                         rng, log_fn: Optional[Callable] = None,
