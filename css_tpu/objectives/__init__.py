@@ -6,6 +6,7 @@ time-domain models).
 """
 
 from css_tpu.objectives.base import OBJECTIVES  # noqa: F401
+import css_tpu.objectives.masksnr  # noqa: F401
 import css_tpu.objectives.mse  # noqa: F401
 import css_tpu.objectives.snr  # noqa: F401
 

@@ -1,0 +1,93 @@
+"""MaskSNR objective: time-domain SI-SNR through masked-iSTFT resynthesis.
+
+The reference declares an "SNR" objective it never implements
+(scripts/python/train.py:66); MaskSNR extends that slot to mask models
+by differentiating through the resynthesis the pipeline actually
+performs.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from css_tpu.data import SyntheticCorpus
+from css_tpu.data.mixer import MixtureSynthesizer
+from css_tpu.models.blstm import BLSTM
+from css_tpu.objectives import OBJECTIVES, build_objective
+from css_tpu.objectives.masksnr import MaskSiSnr
+from css_tpu.ops.stft import stft, stft_mag
+from css_tpu.trainer import LRSchedule, Trainer
+
+
+def _batch(seed=0, batch=4, win=2.0):
+    corpus = SyntheticCorpus(num_speakers=6, utts_per_speaker=3, seed=seed)
+    loader = MixtureSynthesizer(corpus, batch_size=batch, min_window=win,
+                                max_window=win, seed=seed)
+    return next(loader)
+
+
+def test_registered():
+    assert "MaskSNR" in OBJECTIVES
+    obj = build_objective("MaskSNR", {"masksnr_mag_weight": 0.25})
+    assert obj.mag_weight == 0.25
+
+
+def test_oracle_masks_score_near_irm_bound():
+    """Feeding ideal-ratio masks must reproduce the IRM-oracle SI-SNR —
+    pins the resynthesis path (framing, iSTFT, PIT orientation).
+
+    Uses FULLY-overlapped equal-level sources (mixer windows routinely
+    contain a near-silent speaker, where per-stream SI-SNR is
+    meaningless)."""
+    corpus = SyntheticCorpus(num_speakers=4, utts_per_speaker=2, seed=3)
+    n = 2 * 16000
+    s1 = np.stack([np.tile(corpus.by_speaker["spk0"][0].load(), 2)[:n],
+                   np.tile(corpus.by_speaker["spk1"][0].load(), 2)[:n]])
+    s2 = np.stack([np.tile(corpus.by_speaker["spk2"][0].load(), 2)[:n],
+                   np.tile(corpus.by_speaker["spk3"][0].load(), 2)[:n]])
+    s1, s2 = jnp.asarray(s1), jnp.asarray(s2)
+    mix = s1 + s2
+    m1, m2 = stft_mag(s1, 512, 256), stft_mag(s2, 512, 256)
+    denom = m1 + m2 + 1e-8
+    irm = jnp.stack([m1 / denom, m2 / denom,
+                     jnp.zeros_like(m1)], axis=-1)  # (B, T, F, 3)
+    obj = MaskSiSnr()
+    loss, aux = obj((None, irm), {"mix_wav": mix, "source1": s1,
+                                  "source2": s2})
+    si = float(aux["si_snr"])
+    # the raw mixture scores ~0 dB against either equal-level source;
+    # IRM resynthesis must land far above it
+    assert si > 5.0, si
+    assert np.isfinite(float(loss))
+
+
+def test_masksnr_training_improves_si_snr():
+    corpus = SyntheticCorpus(num_speakers=6, utts_per_speaker=3, seed=0)
+    loader = MixtureSynthesizer(corpus, batch_size=4, min_window=2.0,
+                                max_window=2.0, seed=0)
+    model = BLSTM(idim=257, num_bins=257, hidden_dim=96, num_layers=1,
+                  dropout_rate=0.0)
+    trainer = Trainer(model, MaskSiSnr(), LRSchedule(lr=2e-3, warmup=10),
+                      optim="adam", grad_thresh=5.0)
+    rng = jax.random.PRNGKey(0)
+    state = trainer.init_state(rng, next(loader))
+    state, loss0 = trainer.train_one_epoch(state, loader, 25, rng)
+    state, loss1 = trainer.train_one_epoch(state, loader, 25, rng)
+    # loss is negative SI-SNR (dB): it must drop, i.e. SI-SNR must rise
+    assert float(loss1) < float(loss0), (float(loss0), float(loss1))
+
+
+def test_mag_anchor_changes_loss():
+    b = _batch()
+    mix = jnp.asarray(b["mix"])
+    s1, s2 = jnp.asarray(b["source1"]), jnp.asarray(b["source2"])
+    spec = stft(mix, 512, 256)
+    rng = np.random.default_rng(0)
+    masks = jnp.asarray(rng.uniform(0, 1, spec.shape + (3,)),
+                        jnp.float32)
+    batch = {"mix_wav": mix, "source1": s1, "source2": s2}
+    plain, _ = MaskSiSnr()((None, masks), batch)
+    anchored, aux = MaskSiSnr(mag_weight=1.0)((None, masks), batch)
+    assert float(anchored) > float(plain)
+    assert float(aux["mag_loss"]) > 0
