@@ -157,8 +157,10 @@ class SyntheticCorpus(Corpus):
         spacing = (25.0 if f0_max is None
                    else (f0_max - f0_min) / max(num_speakers - 1, 1))
         utts = []
+        self.f0_by_speaker: Dict[str, float] = {}
         for s in range(num_speakers):
             base_f0 = f0_min + spacing * s + rng.uniform(-5, 5)
+            self.f0_by_speaker[f"spk{s}"] = float(base_f0)
             if voice == "formant":
                 # Persistent per-speaker vocal tract: 3 resonances with
                 # speaker-specific centers/bandwidths/gains, spectral tilt,
