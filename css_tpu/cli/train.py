@@ -55,6 +55,19 @@ def parse_arguments(argv=None):
                         help="synthetic voice model: 'formant' gives each "
                              "speaker a persistent vocal-tract signature "
                              "(timbre cue beyond f0, like real talkers)")
+    parser.add_argument("--spatialize-channels", type=int, default=0,
+                        choices=(0, 7),
+                        help="render training mixtures on the 7-mic "
+                             "circular array (far-field delays, per-window "
+                             "azimuths) and train the multichannel "
+                             "IPD-featured model — the reference's 7ch "
+                             "models were trained out-of-repo")
+    parser.add_argument("--sensor-noise-level", type=float, default=0.003,
+                        help="white sensor noise added per channel by "
+                             "--spatialize-channels")
+    parser.add_argument("--train-ipd-index", default="1,0;2,0;3,0;4,0;5,0;6,0",
+                        help="IPD channel pairs for multichannel training "
+                             "(config_7ch.yaml 'ipd' syntax)")
     parser.add_argument("--expdir", type=str, required=True)
     parser.add_argument("--model", default="Conformer",
                         choices=sorted(MODELS.keys()))
@@ -221,6 +234,18 @@ def main(argv=None):
     if args.synthetic_rirs:
         conf["rir_pool"] = synthetic_rir_pool()
         conf["noise_pool"] = synthetic_noise_pool()
+    if args.spatialize_channels:
+        if args.synthetic_rirs:
+            raise SystemExit("--spatialize-channels is incompatible with "
+                             "--synthetic-rirs (mono-mixture reverb has no "
+                             "spatial image; sensor noise is added per "
+                             "channel instead)")
+        if args.device_mix:
+            raise SystemExit("--spatialize-channels currently uses host "
+                             "mixing; drop --device-mix")
+        if args.model == "ConvTasNet":
+            raise SystemExit("--spatialize-channels needs a mask model "
+                             "(Conformer/BLSTM)")
     dmix = dev_dmix = None
     if args.device_mix:
         if n_proc > 1 and args.strategy == "single":
@@ -251,6 +276,11 @@ def main(argv=None):
     def make_train_stream(i=0):
         ds = build_dataset(args.dataset, corpus,
                            {**conf, "seed": conf["seed"] + 7 * i})
+        if args.spatialize_channels:
+            from css_tpu.data.spatial import SpatialMixer
+
+            return SpatialMixer(ds, noise_level=args.sensor_noise_level,
+                                seed=conf["seed"] + 7 * i + 31)
         return dmix.wrap(ds) if dmix else ds
 
     if args.num_workers > 1:
@@ -278,6 +308,11 @@ def main(argv=None):
         dev_dataset = (build_dataset(args.dataset, dev_corpus,
                                      {**conf, "seed": 12345})
                        if dev_corpus else None)
+        if dev_dataset is not None and args.spatialize_channels:
+            from css_tpu.data.spatial import SpatialMixer
+
+            dev_dataset = SpatialMixer(
+                dev_dataset, noise_level=args.sensor_noise_level, seed=12376)
     if args.fail_after_batches is not None:
         def _crashing(it, n=args.fail_after_batches):
             for i, b in enumerate(it):
@@ -287,6 +322,13 @@ def main(argv=None):
         dataset = _crashing(iter(dataset))
 
     conf["bf16"] = args.bf16
+    train_ipd = None
+    if args.spatialize_channels:
+        train_ipd = args.train_ipd_index
+        n_pairs = len(train_ipd.split(";"))
+        # [ch0 magnitude, M IPD pairs] — matches the 7ch Separator's
+        # feature layout (ops/features.py FeatureExtractor)
+        conf["idim"] = int(conf.get("num_bins", 257)) * (1 + n_pairs)
     model = MODELS[args.model].build_model(conf)
     objective = OBJECTIVES[args.objective].build_objective(conf)
     schedule = LRSchedule.from_conf(conf)
@@ -294,7 +336,7 @@ def main(argv=None):
     trainer = Trainer(model, objective, schedule, optim=args.optim,
                       weight_decay=args.weight_decay,
                       grad_thresh=args.grad_thresh,
-                      input_domain=input_domain)
+                      input_domain=input_domain, ipd_index=train_ipd)
 
     from css_tpu.trainer.loop import training_rng
 

@@ -63,7 +63,9 @@ class MeanSquaredError:
         loss, perms = batch_pit_loss(y_pred, y_true, loss_fn=mse_pairwise)
         aux = {"perms": perms}
         if self.noise_weight and masks is not None and "input" in batch:
-            mag = batch["input"]
+            # multichannel features are [ch0 magnitude, IPD...]; the mask
+            # contract applies to the first num_bins (= target width)
+            mag = batch["input"][..., : y_true.shape[-1]]
             residual = jnp.maximum(
                 mag - sum(batch[k] for k in src_keys), 0.0)
             noise_pred = masks[..., -1] * mag

@@ -80,13 +80,20 @@ class Trainer:
         frame_len: int = 512,
         frame_hop: int = 256,
         donate: bool = True,
+        ipd_index: str = None,
     ):
         self.model = model
         self.objective = objective
         self.schedule = schedule
         self.tx = make_optimizer(optim, schedule, weight_decay, grad_thresh)
         self.input_domain = input_domain
-        self.features = FeatureExtractor(frame_len, frame_hop)
+        # ipd_index enables MULTICHANNEL training batches (B, C, N): the
+        # model input becomes [raw ch0 magnitude, IPD pairs]. The model's
+        # internal MVN (idempotent) makes this bit-equivalent to the
+        # executor's [MVN magnitude, IPD] features, while keeping
+        # y_pred = masks * RAW ch0 magnitude for the loss.
+        self.features = FeatureExtractor(frame_len, frame_hop,
+                                         ipd_index=ipd_index)
         self._train_step = jax.jit(
             self._train_step_impl, donate_argnums=(0,) if donate else ())
         self._train_multi = jax.jit(
@@ -149,6 +156,28 @@ class Trainer:
         from css_tpu.ops.stft_pallas import stft_mag
 
         fl, fh = self.features.frame_len, self.features.frame_hop
+        if batch["mix"].ndim == 3:  # (B, C, N) multichannel (7ch training)
+            if self.features.ipd_left is None:
+                raise ValueError(
+                    "multichannel batches need Trainer(ipd_index=...)")
+            from css_tpu.ops import stft as stft_ops
+            from css_tpu.ops.features import ipd
+
+            spec = stft_ops.stft(batch["mix"], fl, fh)  # (B, C, T, F) complex
+            mag0 = jnp.abs(spec[:, 0])
+            phase = jnp.arctan2(spec.imag, spec.real)
+            ip = ipd(phase, self.features.ipd_left, self.features.ipd_right)
+            bsz, m, t, fbins = ip.shape
+            ip = jnp.transpose(ip, (0, 2, 1, 3)).reshape(bsz, t, m * fbins)
+            out = {"input": jnp.concatenate([mag0, ip], axis=-1)}
+            if getattr(self.objective, "needs_waveforms", False):
+                out["mix_wav"] = batch["mix"][:, 0]
+                for k in src:
+                    out[k] = batch[k]
+                return out
+            for k in src:
+                out[k] = stft_mag(batch[k], fl, fh)
+            return out
         out = {"input": stft_mag(batch["mix"], fl, fh)}
         if getattr(self.objective, "needs_waveforms", False):
             # resynthesis objectives (MaskSNR) differentiate through their

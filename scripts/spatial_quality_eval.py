@@ -1,0 +1,123 @@
+"""7ch spatial quality: MVDR beamforming vs single-channel masking.
+
+Builds LibriCSS-style 2-speaker sessions, renders them on the 7-mic
+circular array (css_tpu.data.spatial, geometry == the DOA steering
+table), and measures SI-SNRi of the full continuous-processing chain
+under ORACLE (ideal-ratio) masks:
+
+  * ``masking``: channel-0 masked-iSTFT resynthesis (the 1ch path);
+  * ``mvdr``: Souden MVDR over the 7ch windows (config_7ch.yaml path).
+
+Oracle masks isolate the SPATIAL chain (SCMs, solves, dedup ducking,
+margin overlap-add) from mask-estimation quality: MVDR must beat 1ch
+masking given real inter-channel information, which the reference could
+never verify in-repo (its quality story needed external ONNX models and
+a real corpus). Run with JAX_PLATFORMS=cpu or on the TPU.
+
+Usage: python scripts/spatial_quality_eval.py [--sessions 3]
+       [--session-sec 30] [--voice formant]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).parent))
+from quality_eval import make_session  # noqa: E402
+
+
+def oracle_window_masks(srcs_p, mix_p, win, hop, n_fft=512, fft_hop=256):
+    """Per-window IRM masks (B, T, F, K+1) + mixture mags (B, T, F) from
+    the channel-0 images, with the same uncentered analysis as the
+    separator (css/executor/separator.py:67 framing semantics)."""
+    import jax.numpy as jnp
+
+    from css_tpu.executor.windowing import unfold
+    from css_tpu.ops.stft import stft_mag
+
+    mags = [np.asarray(stft_mag(jnp.asarray(unfold(s, win, hop)),
+                                n_fft, fft_hop)) for s in srcs_p]
+    mix_mag = np.asarray(stft_mag(jnp.asarray(unfold(mix_p, win, hop)),
+                                  n_fft, fft_hop))
+    denom = sum(mags) + 1e-8
+    # speaker IRMs + a zero noise mask (oracle: all energy is speech)
+    masks = np.stack([m / denom for m in mags] + [np.zeros_like(mix_mag)],
+                     axis=-1)
+    return masks.astype(np.float32), mix_mag.astype(np.float32)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--sessions", type=int, default=3)
+    parser.add_argument("--session-sec", type=float, default=30.0)
+    parser.add_argument("--seed", type=int, default=123)
+    parser.add_argument("--num-speakers", type=int, default=6)
+    parser.add_argument("--voice", default="harmonic",
+                        choices=("harmonic", "formant"))
+    parser.add_argument("--noise-level", type=float, default=0.003)
+    args = parser.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from css_tpu.data import SyntheticCorpus
+    from css_tpu.data.spatial import spatial_session
+    from css_tpu.executor.beamformer import Beamformer
+    from css_tpu.executor.stitcher import Stitcher
+    from css_tpu.utils.metrics import si_snr_improvement_db
+
+    corpus = SyntheticCorpus(num_speakers=args.num_speakers,
+                             utts_per_speaker=4, seed=args.seed,
+                             voice=args.voice)
+    rng = np.random.default_rng(args.seed)
+    win, hop = int(2.4 * 16000) + 256, int(0.8 * 16000)
+    stitcher = Stitcher(eval_win=2.4, eval_hop=0.8, fft_hop=256)
+    bf_1ch = Beamformer(bf_type="masking", eval_win=2.4, eval_hop=0.8,
+                        n_fft=512, hop_length=256, proceed_margin=2.0)
+    bf_7ch = Beamformer(bf_type="SoudenMVDRBeamformer", eval_win=2.4,
+                        eval_hop=0.8, n_fft=512, hop_length=256,
+                        proceed_margin=2.0)
+
+    res = {"masking_1ch": [], "mvdr_7ch": []}
+    for i in range(args.sessions):
+        _, srcs = make_session(corpus, rng, args.session_sec)
+        az = rng.choice(np.arange(0, 360, 12), 2, replace=False)
+        wav7 = spatial_session(srcs, az, noise_level=args.noise_level,
+                               seed=args.seed + i)
+        mix0 = wav7[0]
+        total = mix0.shape[-1]
+        n_win = max(1, -(-(total - win) // hop) + 1)
+        needed = (n_win - 1) * hop + win
+        wav7_p = np.pad(wav7, [(0, 0), (0, needed - total)])
+        srcs_p = np.pad(srcs, [(0, 0), (0, needed - total)])
+
+        masks, _ = oracle_window_masks(srcs_p, wav7_p[0], win, hop)
+        # oracle masks are globally consistent -> identity boundary perms
+        ident = np.tile(np.arange(2, dtype=np.int32),
+                        (masks.shape[0] - 1, 1))
+        stitched = [np.asarray(m) for m in stitcher.get_connect(
+            jnp.asarray(ident), jnp.asarray(masks))]
+
+        out1 = [o[:total] for o in bf_1ch.continuous_process(
+            wav7_p[0], stitched)]
+        out7 = [o[:total] for o in bf_7ch.continuous_process(
+            wav7_p, stitched)]
+        imp1 = si_snr_improvement_db(out1, list(srcs), mix0)
+        imp7 = si_snr_improvement_db(out7, list(srcs), mix0)
+        res["masking_1ch"].append(float(imp1))
+        res["mvdr_7ch"].append(float(imp7))
+        print(f"session {i} (az {az[0]}/{az[1]}): masking {imp1:+.2f} dB, "
+              f"MVDR {imp7:+.2f} dB", flush=True)
+
+    print(json.dumps({
+        "masking_1ch_mean_db": round(float(np.mean(res["masking_1ch"])), 2),
+        "mvdr_7ch_mean_db": round(float(np.mean(res["mvdr_7ch"])), 2),
+        "sessions": args.sessions, "voice": args.voice}))
+
+
+if __name__ == "__main__":
+    main()
