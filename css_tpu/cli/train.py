@@ -240,9 +240,9 @@ def main(argv=None):
                              "--synthetic-rirs (mono-mixture reverb has no "
                              "spatial image; sensor noise is added per "
                              "channel instead)")
-        if args.device_mix:
-            raise SystemExit("--spatialize-channels currently uses host "
-                             "mixing; drop --device-mix")
+        if args.device_mix and n_proc > 1:
+            raise SystemExit("--spatialize-channels with --device-mix is "
+                             "single-process for now")
         if args.model == "ConvTasNet":
             raise SystemExit("--spatialize-channels needs a mask model "
                              "(Conformer/BLSTM)")
@@ -253,13 +253,22 @@ def main(argv=None):
                              "--strategy dp or replica_avg")
         from css_tpu.data.device_mixer import DeviceMixer
 
-        dmix = DeviceMixer(build_dataset(args.dataset, corpus, conf))
+        def _maybe_spatial(ds, seed):
+            if not args.spatialize_channels:
+                return ds
+            from css_tpu.data.spatial import SpatialMixer
+
+            return SpatialMixer(ds, noise_level=args.sensor_noise_level,
+                                seed=seed)
+
+        dmix = DeviceMixer(_maybe_spatial(
+            build_dataset(args.dataset, corpus, conf), conf["seed"] + 31))
         # validation stays device-mixed only in the single strategy: mesh
         # strategies hold mesh-global state and the eval step would mix
         # committed placements with default-device pools
         if dev_corpus is not None and args.strategy == "single":
-            dev_dmix = DeviceMixer(build_dataset(
-                args.dataset, dev_corpus, {**conf, "seed": 12345}))
+            dev_dmix = DeviceMixer(_maybe_spatial(build_dataset(
+                args.dataset, dev_corpus, {**conf, "seed": 12345}), 12376))
 
     if (args.num_workers > 1
             or (n_proc > 1 and args.strategy in ("dp", "replica_avg"))):
@@ -276,12 +285,15 @@ def main(argv=None):
     def make_train_stream(i=0):
         ds = build_dataset(args.dataset, corpus,
                            {**conf, "seed": conf["seed"] + 7 * i})
+        if dmix:
+            # spatial rendering (if any) happens in dmix.encode/materialize
+            return dmix.wrap(ds)
         if args.spatialize_channels:
             from css_tpu.data.spatial import SpatialMixer
 
             return SpatialMixer(ds, noise_level=args.sensor_noise_level,
                                 seed=conf["seed"] + 7 * i + 31)
-        return dmix.wrap(ds) if dmix else ds
+        return ds
 
     if args.num_workers > 1:
         from css_tpu.data import PrefetchLoader

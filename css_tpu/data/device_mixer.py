@@ -54,11 +54,23 @@ def _flatten_pool(arrays, gap: int):
 
 
 class DeviceMixer:
-    """Device-resident pools + recipe encoder for one MixtureSynthesizer."""
+    """Device-resident pools + recipe encoder for one MixtureSynthesizer.
+
+    Accepts a plain MixtureSynthesizer or a SpatialMixer wrapping one: in
+    the spatial case the recipe additionally carries per-source azimuths
+    (+ a sensor-noise seed) and `materialize` renders the 7-mic far-field
+    mixture ON the chip — a (B, 7, N) multichannel batch would otherwise
+    be 7x the host->device traffic of the mono case.
+    """
 
     def __init__(self, mixer):
         from css_tpu.data.augment import NoiseMix, ReverbWithImpulseResponse
+        from css_tpu.data.spatial import MIC_OFFSETS, SpatialMixer
 
+        self.spatial = None
+        if isinstance(mixer, SpatialMixer):
+            self.spatial = mixer
+            mixer = mixer.mixer
         self.mixer = mixer
         self.num_speakers = mixer.num_speakers
         self.max_win = int(max(mixer.window_buckets) * mixer.sr)
@@ -88,6 +100,14 @@ class DeviceMixer:
                     tiled.append(np.asarray(nz, np.float32))
                 nflat, self._noise_start, _ = _flatten_pool(tiled, 0)
                 self._host_pools["noise_flat"] = nflat
+        if self.spatial is not None:
+            # far-field geometry constants (data/spatial.py conventions)
+            self._host_pools["mic_off"] = np.array(MIC_OFFSETS[1:],
+                                                   np.float32)
+            self._host_pools["spatial_coef"] = np.float32(
+                0.0425 / 340.0 * mixer.sr)  # radius/c*sr: delay samples
+            self._host_pools["spatial_noise"] = np.float32(
+                self.spatial.noise_level)
         self._device_pools = None
 
     @property
@@ -119,14 +139,17 @@ class DeviceMixer:
         dm_i[:, K] = RIR row; dm_i[:, K+1] = noise pool offset;
         dm_f[:, 0] = reverb on; dm_f[:, 1] = noise on; dm_f[:, 2] = SNR dB.
         Unused augmentation columns stay zero (the on-flags gate them).
+        Spatial mode appends dm_i[:, K+2] = sensor-noise seed and
+        dm_f[:, 3:3+K] = per-source azimuths in radians.
         """
         win = int(recipe["win"])
         u = recipe["utt"]
         a = np.clip(recipe["start"], -win, self._utt_len[u])
         src = (self._utt_start[u] + a).astype(np.int32)
         n, k = src.shape
-        ints = np.zeros((n, k + 2), np.int32)
-        flts = np.zeros((n, 3), np.float32)
+        spatial = self.spatial is not None
+        ints = np.zeros((n, k + 2 + (1 if spatial else 0)), np.int32)
+        flts = np.zeros((n, 3 + (k if spatial else 0)), np.float32)
         ints[:, :k] = src
         if "rir_mat" in self._host_pools:
             ints[:, k] = recipe["rir_idx"]
@@ -136,6 +159,11 @@ class DeviceMixer:
                               + recipe["noise_start"])
             flts[:, 1] = recipe["noise_on"]
             flts[:, 2] = recipe["snr"]
+        if spatial:
+            az = self.spatial._draw_azimuths(n, k)  # degrees
+            flts[:, 3:3 + k] = np.deg2rad(az)
+            ints[:, k + 2] = self.spatial.rng.integers(
+                2**31, size=n, dtype=np.int32)
         return {
             "dm_i": ints,
             "dm_f": flts,
@@ -184,12 +212,44 @@ def materialize(pools, batch) -> Dict:
     win = batch["dm_winmark"].shape[-1]
     flat = pools["utt_flat"]
     ints, flts = batch["dm_i"], batch["dm_f"]
-    k = ints.shape[-1] - 2  # packed layout: [src_0..K-1, rir_idx, noise_s]
+    spatial = "spatial_noise" in pools
+    # packed layout: [src_0..K-1, rir_idx, noise_s(, sensor seed)]
+    k = ints.shape[-1] - (3 if spatial else 2)
 
     def slice1(s):
         return jax.lax.dynamic_slice(flat, (s,), (win,))
 
     srcs = jax.vmap(jax.vmap(slice1))(ints[:, :k])  # (B, K, win)
+    if spatial:
+        # far-field rendering on the 7-mic array: one rFFT per source,
+        # per-mic phase ramps from the azimuth recipe, one irFFT for the
+        # summed multichannel mixture (data/spatial.py host semantics)
+        az = flts[:, 3:3 + k]  # (B, K) radians
+        offs = pools["mic_off"]  # (6,)
+        coef = pools["spatial_coef"]  # radius/c*sr -> delay in samples
+        nfft = 1 << (win - 1).bit_length()
+        deltas = jnp.concatenate(
+            [jnp.zeros(az.shape + (1,)),
+             coef * jnp.cos(az[..., None] + offs)], axis=-1)  # (B, K, 7)
+        freqs = jnp.arange(nfft // 2 + 1, dtype=jnp.float32)
+        phase = (2.0 * jnp.pi / nfft) * deltas[..., None] * freqs  # (B,K,7,F)
+        ramp = jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
+        spec = jnp.fft.rfft(srcs, nfft)  # (B, K, F)
+        mix_spec = jnp.einsum("bkf,bkcf->bcf", spec, ramp)
+        mix = jnp.fft.irfft(mix_spec, nfft)[..., :win]  # (B, 7, win)
+        level = pools["spatial_noise"]
+
+        def sensor_noise(seed):
+            return jax.random.normal(
+                jax.random.PRNGKey(seed.astype(jnp.uint32)), (7, win))
+
+        mix = jnp.where(
+            level > 0,
+            mix + level * jax.vmap(sensor_noise)(ints[:, k + 2]), mix)
+        out = {"mix": mix.astype(jnp.float32)}
+        for i in range(srcs.shape[1]):
+            out[f"source{i + 1}"] = srcs[:, i]
+        return out
     mix = jnp.sum(srcs, axis=1)
     if "rir_mat" in pools:
         lr = pools["rir_mat"].shape[-1]

@@ -138,12 +138,13 @@ class SpatialMixer:
                     break
         return az
 
-    def __next__(self):
-        batch = next(self.mixer)
+    def spatialize_batch(self, batch, az=None):
+        """Render an already-mixed mono batch's sources on the array."""
         srcs = [batch[f"source{i + 1}"]
                 for i in range(self.mixer.num_speakers)]
         b, n = srcs[0].shape
-        az = self._draw_azimuths(b, len(srcs))
+        if az is None:
+            az = self._draw_azimuths(b, len(srcs))
         mix = np.zeros((b, 7, n), np.float32)
         for ki, s in enumerate(srcs):
             mix += _spatialize_batch(s, az[:, ki], sr=self.mixer.sr)
@@ -153,3 +154,6 @@ class SpatialMixer:
         out = dict(batch)
         out["mix"] = mix
         return out
+
+    def __next__(self):
+        return self.spatialize_batch(next(self.mixer))

@@ -59,7 +59,15 @@ def main(argv=None):
     parser.add_argument("--num-speakers", type=int, default=6)
     parser.add_argument("--voice", default="harmonic",
                         choices=("harmonic", "formant"))
+    parser.add_argument("--f0-max", type=float, default=None)
     parser.add_argument("--noise-level", type=float, default=0.003)
+    parser.add_argument("--checkpoint", default=None,
+                        help="score a TRAINED 7ch model (masks from the "
+                             "IPD-featured Separator + DOA merge) instead "
+                             "of oracle masks")
+    parser.add_argument("--model", default="Conformer")
+    parser.add_argument("--merge", action="store_true",
+                        help="DOA angle merge for the trained-mask path")
     args = parser.parse_args(argv)
 
     import jax.numpy as jnp
@@ -70,9 +78,26 @@ def main(argv=None):
     from css_tpu.executor.stitcher import Stitcher
     from css_tpu.utils.metrics import si_snr_improvement_db
 
+    separator = None
+    if args.checkpoint:
+        from css_tpu.executor.separator import Separator
+        from css_tpu.models import MODELS
+        from css_tpu.trainer import checkpoint as ckpt_io
+
+        ckpt = ckpt_io.load_checkpoint(args.checkpoint)
+        model = MODELS[args.model].build_model(dict(ckpt.get("conf", {})))
+        variables = {"params": ckpt["params"]}
+        if ckpt.get("batch_stats"):
+            variables["batch_stats"] = ckpt["batch_stats"]
+        separator = Separator(
+            model, variables, eval_win=2.4, eval_hop=0.8, frame_len=512,
+            frame_hop=256, batch_size=16,
+            ipd_index="1,0;2,0;3,0;4,0;5,0;6,0",
+            merge=args.merge, merge_threshold=16.0)
+
     corpus = SyntheticCorpus(num_speakers=args.num_speakers,
                              utts_per_speaker=4, seed=args.seed,
-                             voice=args.voice)
+                             voice=args.voice, f0_max=args.f0_max)
     rng = np.random.default_rng(args.seed)
     win, hop = int(2.4 * 16000) + 256, int(0.8 * 16000)
     stitcher = Stitcher(eval_win=2.4, eval_hop=0.8, fft_hop=256)
@@ -95,12 +120,17 @@ def main(argv=None):
         wav7_p = np.pad(wav7, [(0, 0), (0, needed - total)])
         srcs_p = np.pad(srcs, [(0, 0), (0, needed - total)])
 
-        masks, _ = oracle_window_masks(srcs_p, wav7_p[0], win, hop)
-        # oracle masks are globally consistent -> identity boundary perms
-        ident = np.tile(np.arange(2, dtype=np.int32),
-                        (masks.shape[0] - 1, 1))
-        stitched = [np.asarray(m) for m in stitcher.get_connect(
-            jnp.asarray(ident), jnp.asarray(masks))]
+        if separator is not None:
+            masks, mags = separator.separate(wav7_p)
+            stitched = [np.asarray(m) for m in stitcher(
+                jnp.asarray(masks), jnp.asarray(mags))]
+        else:
+            masks, _ = oracle_window_masks(srcs_p, wav7_p[0], win, hop)
+            # oracle masks are globally consistent -> identity boundary perms
+            ident = np.tile(np.arange(2, dtype=np.int32),
+                            (masks.shape[0] - 1, 1))
+            stitched = [np.asarray(m) for m in stitcher.get_connect(
+                jnp.asarray(ident), jnp.asarray(masks))]
 
         out1 = [o[:total] for o in bf_1ch.continuous_process(
             wav7_p[0], stitched)]
@@ -116,7 +146,9 @@ def main(argv=None):
     print(json.dumps({
         "masking_1ch_mean_db": round(float(np.mean(res["masking_1ch"])), 2),
         "mvdr_7ch_mean_db": round(float(np.mean(res["mvdr_7ch"])), 2),
-        "sessions": args.sessions, "voice": args.voice}))
+        "sessions": args.sessions, "voice": args.voice,
+        "masks": ("trained:" + args.checkpoint) if args.checkpoint
+                 else "oracle"}))
 
 
 if __name__ == "__main__":

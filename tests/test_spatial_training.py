@@ -101,3 +101,39 @@ def test_7ch_training_to_7ch_pipeline(tmp_path):
     assert out0.shape == (wav7.shape[1],)
     assert np.isfinite(out0).all() and np.isfinite(out1).all()
     assert (tmp_path / "spatial_0.wav").exists()
+
+
+def test_device_spatialize_matches_host():
+    """On-chip far-field rendering == the host SpatialMixer for the same
+    recipe + azimuths (sensor noise off: the device draws its own)."""
+    from css_tpu.data.device_mixer import DeviceMixer, materialize
+
+    m = _mixer(batch=3, seed=11)
+    sm = SpatialMixer(m, noise_level=0.0, seed=11)
+    dm = DeviceMixer(sm)
+    recipe = m.sample_recipe()
+    enc = dm.encode(recipe)
+    az_deg = np.degrees(enc["dm_f"][:, 3:3 + m.num_speakers])
+
+    host = sm.spatialize_batch(m.materialize_recipe_host(recipe), az=az_deg)
+    pools = {k: jnp.asarray(v) for k, v in dm.host_pools.items()}
+    dev = jax.jit(materialize)(pools, jax.tree.map(jnp.asarray, enc))
+    assert np.asarray(dev["mix"]).shape == host["mix"].shape == (3, 7, 32000)
+    np.testing.assert_allclose(np.asarray(dev["mix"]), host["mix"],
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dev["source1"]), host["source1"],
+                               atol=1e-6)
+
+
+def test_cli_device_mix_spatial(tmp_path):
+    """--spatialize-channels composes with --device-mix end-to-end."""
+    from css_tpu.cli import train as train_cli
+
+    train_cli.main([
+        "--expdir", str(tmp_path), "--model", "BLSTM", "--objective", "MSE",
+        "--synthetic-data", "--spatialize-channels", "7", "--device-mix",
+        "--batch-size", "4", "--batches-per-epoch", "3", "--num-epochs", "1",
+        "--optim", "adam", "--lr", "1e-3", "--warmup", "2",
+        "--blstm-hdim", "32", "--blstm-num-layers", "1",
+        "--min-window-size", "2", "--max-window-size", "2", "--job", "1"])
+    assert (tmp_path / "1.1.mdl").exists()
