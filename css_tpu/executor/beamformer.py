@@ -42,6 +42,7 @@ class Beamformer:
         dedup_floor_db: float = -40.0,
         extra_samples: int = 256,
         diag_loading: float = 1e-15,
+        mask_shift: int = 1,
     ):
         # accept the reference's asteroid class names (conf/config_1ch.yaml:21)
         # so every entry point — offline pipeline, streaming, sharded —
@@ -63,6 +64,7 @@ class Beamformer:
         self.dedup_db = dedup_db
         self.dedup_floor = 10.0 ** (dedup_floor_db / 20.0)
         self.diag_loading = diag_loading
+        self.mask_shift = int(mask_shift)
         self._process = jax.jit(self._process_impl)
 
     # ------------------------------------------------------------------ core
@@ -70,12 +72,19 @@ class Beamformer:
         """Masks were estimated on UNCENTERED frames (conv-STFT,
         separator path); the beamformer STFT is CENTERED, so uncentered
         frame t (centered at sample t*hop + frame/2) corresponds to
-        centered frame t+1. Shift by one and edge-replicate to cover all
-        centered frames."""
+        centered frame t+1. Shift by `mask_shift` (default 1) and
+        edge-replicate to cover all centered frames. The default is
+        quality-validated, not just a shape fix: on oracle-mask far-field
+        sessions (scripts/spatial_quality_eval.py) shift 1 beats 0 and 2
+        for both the masking and MVDR paths (see BASELINE.md round-2
+        table)."""
         t_mask = mask.shape[1]
-        parts = [mask[:, :1], mask]
-        if t_spec > t_mask + 1:
-            parts.append(jnp.repeat(mask[:, -1:], t_spec - t_mask - 1, axis=1))
+        s = self.mask_shift
+        parts = ([jnp.repeat(mask[:, :1], s, axis=1), mask] if s > 0
+                 else [mask])
+        if t_spec > t_mask + s:
+            parts.append(jnp.repeat(mask[:, -1:], t_spec - t_mask - s,
+                                    axis=1))
         return jnp.concatenate(parts, axis=1)[:, :t_spec]
 
     def _beamform_windows(self, spec, speech_mask, noise_mask):
