@@ -24,14 +24,18 @@ import numpy as np
 
 
 def make_session(corpus, rng, dur_sec: float, sr: int = 16000,
-                 overlap_frac: float = 0.3):
+                 overlap_frac: float = 0.3, pair=None):
     """One continuous 2-speaker conversation.
 
     Utterances alternate between the two speakers; each next utterance
     starts `overlap_frac` of the previous utterance's length before the
     previous one ends (LibriCSS-style partial overlap), jittered per turn.
+    ``pair`` forces the two speakers (stratified protocols); the rng is
+    consumed identically either way.
     """
     spk = rng.choice(corpus.speakers, 2, replace=False)
+    if pair is not None:
+        spk = list(pair)
     n = int(dur_sec * sr)
     srcs = np.zeros((2, n), np.float32)
     pos = 0
@@ -96,6 +100,11 @@ def main(argv=None):
     parser.add_argument("--workdir", default="/tmp/css_tpu_quality")
     parser.add_argument("--beamformer", default="masking")
     parser.add_argument("--skip-oracle", action="store_true")
+    parser.add_argument("--stratify-f0", action="store_true",
+                        help="pick session speaker pairs evenly across the "
+                             "|f0_a - f0_b| spectrum (hardest=closest pair "
+                             "included) instead of at random — difficulty "
+                             "is then reproducible by construction")
     args = parser.parse_args(argv)
 
     from css_tpu.cli import evaluate as evaluate_cli
@@ -115,10 +124,23 @@ def main(argv=None):
         utts_per_speaker=args.utts_per_speaker,
         seed=args.seed if args.corpus_seed is None else args.corpus_seed,
         f0_max=args.f0_max, voice=args.voice)
+    pairs = [None] * args.sessions
+    if args.stratify_f0:
+        f0 = corpus.f0_by_speaker
+        ranked = sorted(
+            ((a, b) for i, a in enumerate(corpus.speakers)
+             for b in corpus.speakers[i + 1:]),
+            key=lambda p: abs(f0[p[0]] - f0[p[1]]))
+        idx = np.linspace(0, len(ranked) - 1, args.sessions).round()
+        pairs = [ranked[int(j)] for j in idx]
+        for p in pairs:
+            print(f"stratified pair {p[0]}/{p[1]}: "
+                  f"|df0| {abs(f0[p[0]] - f0[p[1]]):.1f} Hz")
     rng = np.random.default_rng(args.seed)
     oracle = []
     for i in range(args.sessions):
-        mix, srcs = make_session(corpus, rng, args.session_sec)
+        mix, srcs = make_session(corpus, rng, args.session_sec,
+                                 pair=pairs[i])
         key = f"sess{i}"
         write_wav(mix_dir / f"{key}.wav", mix)
         for k in range(2):
