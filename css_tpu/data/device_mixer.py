@@ -67,7 +67,10 @@ class DeviceMixer:
         from css_tpu.data.augment import NoiseMix, ReverbWithImpulseResponse
         from css_tpu.data.spatial import MIC_OFFSETS, SpatialMixer
 
+        import threading
+
         self.spatial = None
+        self._spatial_lock = threading.Lock()
         if isinstance(mixer, SpatialMixer):
             self.spatial = mixer
             mixer = mixer.mixer
@@ -160,10 +163,16 @@ class DeviceMixer:
             flts[:, 1] = recipe["noise_on"]
             flts[:, 2] = recipe["snr"]
         if spatial:
-            az = self.spatial._draw_azimuths(n, k)  # degrees
+            # PrefetchLoader producer threads share this DeviceMixer (each
+            # wraps its own content mixer via `wrap`), so the spatial
+            # Generator must be serialized — numpy Generators are not
+            # thread-safe and concurrent draws corrupt the stream
+            with self._spatial_lock:
+                az = self.spatial._draw_azimuths(n, k)  # degrees
+                seeds = self.spatial.rng.integers(2**31, size=n,
+                                                  dtype=np.int32)
             flts[:, 3:3 + k] = np.deg2rad(az)
-            ints[:, k + 2] = self.spatial.rng.integers(
-                2**31, size=n, dtype=np.int32)
+            ints[:, k + 2] = seeds
         return {
             "dm_i": ints,
             "dm_f": flts,

@@ -26,18 +26,34 @@ MIC_OFFSETS = (None, math.pi / 6, -math.pi / 6, -math.pi / 2,
                -5 * math.pi / 6, 5 * math.pi / 6, math.pi / 2)
 
 
-def mic_delays(azimuth_deg: float, radius: float = 0.0425,
+def mic_delays(azimuth_deg, radius: float = 0.0425,
                snd_velocity: float = 340.0, sr: int = 16000) -> np.ndarray:
-    """Per-mic plane-wave delays in SAMPLES for a source at ``azimuth_deg``.
+    """Per-mic plane-wave delays in SAMPLES; azimuth scalar -> (7,),
+    azimuths (B,) -> (B, 7).
 
     Sign convention matches steervec_7ch: the steering vector for angle θ
     applies phase exp(+j·ω·δ_m) with δ_m = radius·cos(θ + offset_m)/c·sr,
     so a source synthesized with these delays projects maximally onto the
     steering vector at its own azimuth.
     """
-    a = math.radians(azimuth_deg)
-    d = np.array([0.0] + [radius * math.cos(a + o) for o in MIC_OFFSETS[1:]])
-    return (d / snd_velocity * sr).astype(np.float64)
+    a = np.deg2rad(np.asarray(azimuth_deg, np.float64))[..., None]
+    offs = np.array(MIC_OFFSETS[1:])
+    d = np.concatenate(
+        [np.zeros(a.shape), radius * np.cos(a + offs)], axis=-1)
+    return d / snd_velocity * sr
+
+
+def _phase_ramps(azimuths_deg: np.ndarray, n_bins: int, nfft: int,
+                 radius: float, snd_velocity: float, sr: int) -> np.ndarray:
+    """(B,) azimuths -> (B, 7, n_bins) complex rFFT ramps: a phase ADVANCE
+    of delta samples, exp(+j·2πk·delta/nfft) — the phase the steering
+    table expects at its own azimuth. The ONE implementation of the
+    geometry/sign convention; the device path (device_mixer.materialize)
+    mirrors it and is pinned equal by test."""
+    deltas = mic_delays(azimuths_deg, radius, snd_velocity, sr)  # (B, 7)
+    k = np.arange(n_bins)
+    return np.exp(1j * 2.0 * np.pi * k[None, None, :]
+                  * deltas[:, :, None] / nfft)
 
 
 def spatialize_7ch(wav: np.ndarray, azimuth_deg: float,
@@ -46,16 +62,8 @@ def spatialize_7ch(wav: np.ndarray, azimuth_deg: float,
     """(N,) dry source -> (7, N) far-field array image via exact
     fractional delays (rFFT phase ramps)."""
     wav = np.asarray(wav, np.float64)
-    n = wav.shape[-1]
-    nfft = 1 << (n - 1).bit_length()
-    spec = np.fft.rfft(wav, nfft)
-    deltas = mic_delays(azimuth_deg, radius, snd_velocity, sr)
-    k = np.arange(spec.shape[-1])
-    # phase ADVANCE of delta samples: exp(+j·2πk·delta/nfft), the phase the
-    # steering table expects at its own azimuth
-    ramp = np.exp(1j * 2.0 * np.pi * k[None, :] * deltas[:, None] / nfft)
-    chans = np.fft.irfft(spec[None, :] * ramp, nfft)[:, :n]
-    return chans.astype(np.float32)
+    return _spatialize_batch(wav[None], np.atleast_1d(azimuth_deg),
+                             radius, snd_velocity, sr)[0]
 
 
 def spatial_session(srcs: np.ndarray, azimuths_deg, noise_level: float = 0.0,
@@ -75,16 +83,11 @@ def _spatialize_batch(waves: np.ndarray, azimuths_deg: np.ndarray,
                       radius: float = 0.0425, snd_velocity: float = 340.0,
                       sr: int = 16000) -> np.ndarray:
     """(B, N) windows, (B,) azimuths -> (B, 7, N), vectorized rFFT ramps."""
-    b, n = waves.shape
+    n = waves.shape[-1]
     nfft = 1 << (n - 1).bit_length()
     spec = np.fft.rfft(waves, nfft)  # (B, F)
-    a = np.deg2rad(azimuths_deg)[:, None]
-    offs = np.array([o for o in MIC_OFFSETS[1:]])[None, :]
-    d = np.concatenate([np.zeros((b, 1)), radius * np.cos(a + offs)], axis=1)
-    deltas = d / snd_velocity * sr  # (B, 7) samples
-    k = np.arange(spec.shape[-1])
-    ramp = np.exp(1j * 2.0 * np.pi * k[None, None, :]
-                  * deltas[:, :, None] / nfft)  # (B, 7, F)
+    ramp = _phase_ramps(azimuths_deg, spec.shape[-1], nfft,
+                        radius, snd_velocity, sr)  # (B, 7, F)
     return np.fft.irfft(spec[:, None, :] * ramp, nfft)[..., :n].astype(
         np.float32)
 
@@ -139,15 +142,27 @@ class SpatialMixer:
         return az
 
     def spatialize_batch(self, batch, az=None):
-        """Render an already-mixed mono batch's sources on the array."""
+        """Render an already-mixed mono batch's sources on the array.
+
+        Sums the K phase-ramped source spectra and inverts ONCE — the
+        irfft dominates the cost, so this is ~K times cheaper than
+        spatializing each source to the time domain separately (and it
+        is exactly what the device path does).
+        """
         srcs = [batch[f"source{i + 1}"]
                 for i in range(self.mixer.num_speakers)]
         b, n = srcs[0].shape
         if az is None:
             az = self._draw_azimuths(b, len(srcs))
-        mix = np.zeros((b, 7, n), np.float32)
+        nfft = 1 << (n - 1).bit_length()
+        acc = None
         for ki, s in enumerate(srcs):
-            mix += _spatialize_batch(s, az[:, ki], sr=self.mixer.sr)
+            spec = np.fft.rfft(s, nfft)  # (B, F)
+            ramp = _phase_ramps(az[:, ki], spec.shape[-1], nfft,
+                                0.0425, 340.0, self.mixer.sr)
+            term = spec[:, None, :] * ramp
+            acc = term if acc is None else acc + term
+        mix = np.fft.irfft(acc, nfft)[..., :n].astype(np.float32)
         if self.noise_level > 0:
             mix += (self.noise_level
                     * self.rng.standard_normal(mix.shape).astype(np.float32))

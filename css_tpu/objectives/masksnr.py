@@ -108,8 +108,12 @@ class MaskSiSnr:
             mag = jnp.abs(spec)
             y_pred_mag = masks[..., :k].transpose(0, 3, 1, 2) * mag[:, None]
             true_mag = jnp.abs(stft(y_true, self.frame_len, self.frame_hop))
-            mag_loss, _ = batch_pit_loss(y_pred_mag, true_mag,
-                                         loss_fn=mse_pairwise)
+            # reuse the SI-SNR winner's permutation: an independent PIT can
+            # pick the OPPOSITE assignment on ambiguous windows, and the two
+            # terms would then pull each mask toward different speakers
+            sel = jnp.take_along_axis(y_pred_mag, perms[:, :, None, None],
+                                      axis=1)
+            mag_loss = mse_pairwise(sel, true_mag)
             aux["mag_loss"] = mag_loss
             loss = loss + self.mag_weight * mag_loss
         return loss, aux

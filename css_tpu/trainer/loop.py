@@ -292,9 +292,11 @@ class Trainer:
 
     @staticmethod
     def _batch_geometry(batch):
-        """(batch_size, window_samples) for audio AND encoded-recipe batches."""
+        """(batch_size, window_samples) for audio AND encoded-recipe
+        batches. Multichannel audio is (B, C, N) — the window length is
+        always the LAST axis."""
         if "mix" in batch:
-            return batch["mix"].shape[0], batch["mix"].shape[1]
+            return batch["mix"].shape[0], batch["mix"].shape[-1]
         return batch["dm_i"].shape[0], batch["dm_winmark"].shape[-1]
 
     def train_one_epoch(self, state: TrainState, loader, batches_per_epoch: int,

@@ -65,7 +65,10 @@ case "$phase" in
       --keep-every 3 --keep-last 5 --init "$INIT" --seed 11
     ;;
   eval)
-    shift 2 || true
+    if [ "$#" -lt 3 ]; then
+      echo "usage: $0 eval <expdir> <checkpoint.mdl> [more...]" >&2; exit 2
+    fi
+    shift 2
     for ck in "$@"; do
       echo "== $ck (3-session protocol)"
       python scripts/quality_eval.py --checkpoint "$ck" --model Conformer \

@@ -105,7 +105,9 @@ def main(argv=None):
     for name, pairs in groups.items():
         rows = []
         for a, b, df in pairs:
-            srng = np.random.default_rng(hash((a, b)) % 2**32)
+            # deterministic per-pair seed (str hash is salted per process)
+            srng = np.random.default_rng(
+                (args.seed, int(a[3:]), int(b[3:])))
             mix, srcs = make_session(_PairCorpus(test_corpus, a, b), srng,
                                      args.session_sec)
             o0, o1 = pipe.process(mix.astype(np.float32))
