@@ -120,8 +120,24 @@ def parse_arguments(argv=None):
     parser.add_argument("--profile-dir", default=None,
                         help="capture a jax.profiler trace of epoch 1 here")
     parser.add_argument("--keep-best", action="store_true",
-                        help="also save best.{job}.mdl whenever validation "
-                             "loss improves")
+                        help="also save best.{job}.mdl whenever the "
+                             "selection metric improves (held-out probe "
+                             "SI-SNRi when --probe-sessions > 0, else "
+                             "validation loss)")
+    parser.add_argument("--probe-sessions", type=int, default=0,
+                        help="run a per-epoch held-out SI-SNRi probe on "
+                             "this many short fixed synthetic sessions "
+                             "(full masking pipeline; checkpoint selection "
+                             "tracks separation quality instead of val MSE "
+                             "— BASELINE.md measured val-MSE selection "
+                             "anti-correlated with held-out quality). "
+                             "1ch STFT-mask models only")
+    parser.add_argument("--probe-session-sec", type=float, default=12.0)
+    parser.add_argument("--probe-seed", type=int, default=123,
+                        help="held-out probe corpus seed (disjoint from "
+                             "all training seeds)")
+    parser.add_argument("--probe-speakers", type=int, default=6)
+    parser.add_argument("--probe-utts", type=int, default=4)
     parser.add_argument("--validate-batches", type=int, default=100,
                         help="validation batches per epoch (iteration_types.py:71 uses 100)")
     parser.add_argument("--num-workers", type=int, default=2,
@@ -350,6 +366,25 @@ def main(argv=None):
                       grad_thresh=args.grad_thresh,
                       input_domain=input_domain, ipd_index=train_ipd)
 
+    probe = None
+    if args.probe_sessions > 0:
+        if (args.spatialize_channels or input_domain != "stft"):
+            log.warning("--probe-sessions supports 1ch STFT-mask models "
+                        "only; falling back to val-loss selection")
+        else:
+            from css_tpu.trainer.probe import HeldOutProbe
+
+            voice = getattr(args, "synthetic_voice", "harmonic")
+            probe_corpus = SyntheticCorpus(
+                num_speakers=args.probe_speakers,
+                utts_per_speaker=args.probe_utts,
+                seed=args.probe_seed, f0_max=args.synthetic_f0_max,
+                voice=voice)
+            probe = HeldOutProbe(
+                probe_corpus, sessions=args.probe_sessions,
+                session_sec=args.probe_session_sec, seed=args.probe_seed,
+                num_spk=int(conf.get("num_spk", 2) or 2))
+
     from css_tpu.trainer.loop import training_rng
 
     rng = training_rng(args.seed, args.prng_impl)
@@ -417,6 +452,7 @@ def main(argv=None):
     metrics_log = (MetricsLogger(expdir / f"train.{args.job}.jsonl",
                                  echo_every=50) if is_lead else None)
     best_val = float("inf")
+    best_probe = float("-inf")
     profiling = False
     if args.profile_dir and is_lead:
         jax.profiler.start_trace(args.profile_dir)
@@ -466,27 +502,54 @@ def main(argv=None):
                 steps_per_dispatch=args.steps_per_dispatch, pools=pools)
 
         val = None
+        val_state = (strategy.replica_state(state)
+                     if args.strategy == "replica_avg" else state)
         if dev_dataset is not None:
-            val_state = (strategy.replica_state(state)
-                         if args.strategy == "replica_avg" else state)
             val = trainer.validate(val_state, dev_dataset,
                                    num_batches=args.validate_batches,
                                    pools=dev_pools)
             log.info("Epoch %d :: train loss %.5f valid loss %.5f",
                      e + 1, avg_loss, val)
-            if (args.keep_best and is_lead and np.isfinite(val)
-                    and val < best_val):
-                best_val = val
-                checkpoint.save_checkpoint(
-                    expdir / f"best.{args.job}.mdl", val_state,
-                    epoch=e + 1, loss=float(val),
-                    conf={k: v for k, v in conf.items()
-                          if isinstance(v, (str, int, float, bool,
-                                            type(None)))})
-                log.info("New best validation loss %.5f (epoch %d)",
-                         val, e + 1)
         else:
             log.info("Epoch %d :: train loss %.5f", e + 1, avg_loss)
+        probe_val = None
+        if probe is not None:
+            variables = {"params": val_state.params}
+            if val_state.batch_stats:
+                variables["batch_stats"] = val_state.batch_stats
+            probe_val = probe(model, variables)
+            log.info("Epoch %d :: held-out probe SI-SNRi %+.3f dB",
+                     e + 1, probe_val)
+            if metrics_log is not None:
+                metrics_log({"epoch": e + 1,
+                             "probe_si_snri_db": float(probe_val)})
+        if args.keep_best and is_lead:
+            # selection metric: held-out probe SI-SNRi when available
+            # (higher is better) — val MSE is anti-correlated with
+            # held-out quality (BASELINE.md round 2); else val loss
+            improved = False
+            if probe_val is not None and np.isfinite(probe_val):
+                if probe_val > best_probe:
+                    best_probe = probe_val
+                    improved = True
+                    log.info("New best probe SI-SNRi %+.3f dB (epoch %d)",
+                             probe_val, e + 1)
+            elif val is not None and np.isfinite(val) and val < best_val:
+                best_val = val
+                improved = True
+                log.info("New best validation loss %.5f (epoch %d)",
+                         val, e + 1)
+            if improved:
+                extra = ({"probe_si_snri_db": float(probe_val)}
+                         if probe_val is not None else None)
+                checkpoint.save_checkpoint(
+                    expdir / f"best.{args.job}.mdl", val_state,
+                    epoch=e + 1,
+                    loss=float(val if val is not None else avg_loss),
+                    conf={k: v for k, v in conf.items()
+                          if isinstance(v, (str, int, float, bool,
+                                            type(None)))},
+                    extra=extra)
 
         if profiling:  # capture exactly one epoch
             jax.profiler.stop_trace()

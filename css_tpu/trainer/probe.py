@@ -1,0 +1,133 @@
+"""Held-out quality probe for checkpoint selection.
+
+BASELINE.md (round 2) measured that validation MSE is ANTI-correlated
+with held-out separation quality: the ``--keep-best`` checkpoint picked
+by val-MSE ranked worst on the 8-session held-out protocol. The shipped
+selection criterion must track what users actually score — SI-SNRi of
+the full masking pipeline on held-out speakers.
+
+This probe is that criterion, cheap enough to run every epoch: a few
+short fixed synthetic sessions (held-out corpus seed, disjoint from
+every training seed), pushed through the REAL chunked pipeline —
+window unfold -> features -> model forward -> stitcher (permutation
+scan + WTA + overlap-average) -> full-recording masked resynthesis —
+as ONE jitted program with the parameters as an argument (so a new
+checkpoint never recompiles).
+
+The resynthesis is plain spectral masking on the uncentered
+full-recording STFT. Window w's frame j lands at global frame
+w*hop_frames + j under the uncentered convention, so the stitched mask
+timeline aligns bin-for-bin with the recording STFT — no windowed
+proceed-margin assembly needed (that machinery is for the MVDR path,
+css/executor/beamformer.py:104-118).
+
+Reference counterpart: none — the reference selects checkpoints by
+validation loss only (train.py:297-301) and measures quality out of
+repo via an external ASR.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from css_tpu.executor.stitcher import Stitcher
+from css_tpu.executor.windowing import unfold
+from css_tpu.ops.features import FeatureExtractor
+from css_tpu.ops.stft import istft, stft
+
+
+def _si_snr(est, ref, eps=1e-8):
+    """Scale-invariant SNR (dB); est/ref (..., T), mean-centered."""
+    est = est - jnp.mean(est, axis=-1, keepdims=True)
+    ref = ref - jnp.mean(ref, axis=-1, keepdims=True)
+    proj = (jnp.sum(est * ref, -1, keepdims=True)
+            / (jnp.sum(ref * ref, -1, keepdims=True) + eps)) * ref
+    noise = est - proj
+    return 10.0 * jnp.log10(jnp.sum(proj**2, -1)
+                            / (jnp.sum(noise**2, -1) + eps) + eps)
+
+
+class HeldOutProbe:
+    """Per-epoch held-out SI-SNRi through the masking pipeline.
+
+    Sessions are generated once at construction (fixed material, fixed
+    shapes); ``__call__(variables)`` is a single compiled program.
+    1ch STFT-mask models only (Conformer/BLSTM without spatialization) —
+    callers fall back to val-loss selection otherwise.
+    """
+
+    def __init__(self, corpus, *, sessions: int = 4, session_sec: float = 12.0,
+                 seed: int = 123, sr: int = 16000, eval_win: float = 2.4,
+                 eval_hop: float = 0.8, frame_len: int = 512,
+                 frame_hop: int = 256, num_spk: int = 2,
+                 wta_floor: float = 1e-4, overlap_frac: float = 0.3):
+        from css_tpu.data.sessions import make_session
+
+        rng = np.random.default_rng(seed)
+        self.sr = sr
+        win = int(eval_win * sr) + 256  # separator window (separator.py:67)
+        hop = int(eval_hop * sr)
+        mixes, refs, windows = [], [], []
+        for _ in range(sessions):
+            mix, srcs = make_session(corpus, rng, session_sec, sr=sr,
+                                     overlap_frac=overlap_frac)
+            # pad so sliding windows cover the whole session (pipeline.py)
+            total = mix.shape[-1]
+            n_win = max(1, -(-(total - win) // hop) + 1)
+            needed = (n_win - 1) * hop + win
+            mix_p = np.pad(mix, (0, max(0, needed - total)))
+            mixes.append(mix_p)
+            refs.append(srcs)
+            windows.append(unfold(mix_p, win, hop))
+        self.total = int(refs[0].shape[-1])
+        self.mixes = jnp.asarray(np.stack(mixes))          # (S, Tp)
+        self.refs = jnp.asarray(np.stack(refs))            # (S, K, T)
+        self.windows = jnp.asarray(np.stack(windows))      # (S, W, win)
+        self.features = FeatureExtractor(frame_len, frame_hop)
+        self.stitcher = Stitcher(eval_win=eval_win, eval_hop=eval_hop,
+                                 fft_hop=frame_hop, sr=sr,
+                                 wta_floor=wta_floor, num_spk=num_spk)
+        self.frame_len, self.frame_hop = frame_len, frame_hop
+        self.num_spk = num_spk
+        self._fn: Optional[callable] = None
+
+    def _session_si_snri(self, model, variables, windows, mix, refs):
+        mag, f, _ = self.features(windows)
+        out = model.apply(variables, f, train=False)
+        masks = out[1] if isinstance(out, tuple) else out
+        masks = jnp.minimum(masks, 1.0)
+        stitched = self.stitcher._stitch_impl(masks, mag)
+        spec = stft(mix[None], self.frame_len, self.frame_hop,
+                    center=False)[0]                      # (Tf, F)
+        t = min(spec.shape[0], stitched[0].shape[0])
+        ests = [istft((stitched[s][:t] * spec[:t])[None], self.frame_len,
+                      self.frame_hop, center=False,
+                      length=self.total)[0]
+                for s in range(self.num_spk)]
+        ests = jnp.stack(ests)                            # (K, T)
+        refs = refs[:, : self.total]
+        # PIT SI-SNR over the K! output/reference assignments
+        from css_tpu.ops.pit import permutations_array
+
+        table = permutations_array(self.num_spk)          # (K!, K)
+        cand = jnp.stack([
+            jnp.mean(_si_snr(ests[np.asarray(p)], refs)) for p in table])
+        base = jnp.mean(_si_snr(jnp.broadcast_to(mix[: self.total],
+                                                 refs.shape), refs))
+        return jnp.max(cand) - base
+
+    def __call__(self, model, variables) -> float:
+        """Mean held-out SI-SNRi (dB) of ``variables`` over the sessions."""
+        if self._fn is None:
+            def fn(variables, windows, mixes, refs):
+                vals = jax.lax.map(
+                    lambda a: self._session_si_snri(model, variables, *a),
+                    (windows, mixes, refs))
+                return jnp.mean(vals)
+            self._fn = jax.jit(fn)
+        return float(self._fn(variables, self.windows, self.mixes,
+                              self.refs))
