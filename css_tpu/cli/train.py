@@ -19,6 +19,7 @@ import argparse
 import itertools
 import json
 import os
+import time as _time
 from pathlib import Path
 
 import jax
@@ -133,9 +134,12 @@ def parse_arguments(argv=None):
                              "anti-correlated with held-out quality). "
                              "1ch STFT-mask models only")
     parser.add_argument("--probe-session-sec", type=float, default=12.0)
-    parser.add_argument("--probe-seed", type=int, default=123,
-                        help="held-out probe corpus seed (disjoint from "
-                             "all training seeds)")
+    parser.add_argument("--probe-seed", type=int, default=456,
+                        help="held-out probe corpus seed — disjoint from "
+                             "all training seeds AND from the 8-session "
+                             "eval protocol's seed-123 corpus (selecting "
+                             "on the eval material would tune on the "
+                             "test set)")
     parser.add_argument("--probe-speakers", type=int, default=6)
     parser.add_argument("--probe-utts", type=int, default=4)
     parser.add_argument("--validate-batches", type=int, default=100,
@@ -176,6 +180,20 @@ def parse_arguments(argv=None):
     LRSchedule.add_args(parser)
     parser.parse_args(argv, namespace=args)
     return args
+
+
+def _pin_dev_windows(conf):
+    """Validation conf: one fixed window bucket.
+
+    Random validation window sizes would compile one eval program per
+    bucket, re-paying tens of seconds at epoch boundaries until every
+    bucket has been seen; a single mid-range bucket keeps val loss
+    comparable across epochs AND compiles exactly once."""
+    lo = float(conf.get("min_window_size", 2.0))
+    hi = float(conf.get("max_window_size", 4.0))
+    mid = (lo + hi) / 2
+    return {**conf, "seed": 12345, "min_window_size": mid,
+            "max_window_size": mid}
 
 
 def build_corpus(args):
@@ -284,7 +302,7 @@ def main(argv=None):
         # committed placements with default-device pools
         if dev_corpus is not None and args.strategy == "single":
             dev_dmix = DeviceMixer(_maybe_spatial(build_dataset(
-                args.dataset, dev_corpus, {**conf, "seed": 12345}), 12376))
+                args.dataset, dev_corpus, _pin_dev_windows(conf)), 12376))
 
     if (args.num_workers > 1
             or (n_proc > 1 and args.strategy in ("dp", "replica_avg"))):
@@ -334,7 +352,7 @@ def main(argv=None):
         dev_dataset = dev_dmix
     else:
         dev_dataset = (build_dataset(args.dataset, dev_corpus,
-                                     {**conf, "seed": 12345})
+                                     _pin_dev_windows(conf))
                        if dev_corpus else None)
         if dev_dataset is not None and args.spatialize_channels:
             from css_tpu.data.spatial import SpatialMixer
@@ -501,6 +519,7 @@ def main(argv=None):
                 state, dataset, args.batches_per_epoch, epoch_rng, metrics_log,
                 steps_per_dispatch=args.steps_per_dispatch, pools=pools)
 
+        t_val = _time.perf_counter()
         val = None
         val_state = (strategy.replica_state(state)
                      if args.strategy == "replica_avg" else state)
@@ -508,8 +527,9 @@ def main(argv=None):
             val = trainer.validate(val_state, dev_dataset,
                                    num_batches=args.validate_batches,
                                    pools=dev_pools)
-            log.info("Epoch %d :: train loss %.5f valid loss %.5f",
-                     e + 1, avg_loss, val)
+            log.info("Epoch %d :: train loss %.5f valid loss %.5f "
+                     "(validate %.1fs)", e + 1, avg_loss, val,
+                     _time.perf_counter() - t_val)
         else:
             log.info("Epoch %d :: train loss %.5f", e + 1, avg_loss)
         probe_val = None
@@ -558,6 +578,7 @@ def main(argv=None):
 
         if is_lead and not np.isnan(avg_loss):
             # NaN epochs not checkpointed (train.py:313)
+            t_save = _time.perf_counter()
             save_state = (strategy.replica_state(state)
                           if args.strategy == "replica_avg" else state)
             checkpoint.save_checkpoint(
@@ -567,6 +588,8 @@ def main(argv=None):
                       if isinstance(v, (str, int, float, bool, type(None)))})
             checkpoint.gc_checkpoints(expdir, keep_every=args.keep_every,
                                       keep_last=args.keep_last, job=args.job)
+            log.info("Checkpoint %d.%d saved (%.1fs)", e + 1, args.job,
+                     _time.perf_counter() - t_save)
     if metrics_log is not None:
         metrics_log.close()
     log.info("Done.")

@@ -39,7 +39,7 @@ common=(--model Conformer --objective "$objective"
         --synthetic-data --synthetic-speakers 96 --synthetic-utts 12
         --synthetic-f0-max 400 --synthetic-voice "$VOICE"
         --batch-size 32 --optim adam --weight-decay 0.01 --grad-thresh 5.0
-        --keep-best --validate-batches 16
+        --keep-best --validate-batches 16 --probe-sessions 4
         --device-mix --bf16 --steps-per-dispatch 16 --num-workers 2 --job 1)
 
 case "$phase" in

@@ -8,6 +8,7 @@ import jax.numpy as jnp
 
 from css_tpu.executor.pipeline import CssPipeline
 from css_tpu.models.blstm import BLSTM
+import pytest
 
 
 def _make_7ch_recording(seconds=6, sr=16000, seed=0):
@@ -26,6 +27,7 @@ def _make_7ch_recording(seconds=6, sr=16000, seed=0):
     return np.stack(chans)
 
 
+@pytest.mark.slow
 def test_7ch_pipeline_end_to_end(tmp_path):
     idim = 257 * 7  # mag + 6 IPD pairs (feature.py:133)
     model = BLSTM(idim=idim, num_bins=257, hidden_dim=16, num_layers=1,

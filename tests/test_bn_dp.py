@@ -14,8 +14,10 @@ from css_tpu.models.conformer import Conformer
 from css_tpu.objectives.mse import MeanSquaredError
 from css_tpu.parallel import DataParallel, make_mesh
 from css_tpu.trainer import LRSchedule, Trainer
+import pytest
 
 
+@pytest.mark.slow
 def test_conformer_batchnorm_stats_match_across_dp():
     model = Conformer(idim=257, num_bins=257, attention_dim=32,
                       attention_heads=2, linear_units=48, num_blocks=1,

@@ -10,6 +10,7 @@ import yaml
 from css_tpu.data.corpus import write_wav
 
 
+@pytest.mark.slow
 def test_train_cli_and_separate_cli(tmp_path):
     from css_tpu.cli import combine, separate, train
 
@@ -82,6 +83,7 @@ def test_train_cli_and_separate_cli(tmp_path):
     assert not out2.exists() or not list(out2.iterdir())
 
 
+@pytest.mark.slow
 def test_replica_avg_strategy_cli(tmp_path):
     from css_tpu.cli import train
 
@@ -96,6 +98,7 @@ def test_replica_avg_strategy_cli(tmp_path):
     assert (expdir / "1.1.mdl").exists()
 
 
+@pytest.mark.slow
 def test_mesh_strategies_with_device_mix_cli(tmp_path):
     """--device-mix composes with dp and replica_avg through the CLI glue
     (pools to HBM once, recipe batches sharded/reshaped by the strategy),
@@ -129,6 +132,7 @@ def test_dp_strategy_cli(tmp_path):
     assert (expdir / "1.1.mdl").exists()
 
 
+@pytest.mark.slow
 def test_causal_train_and_hop_streaming_cli(tmp_path):
     """--blstm-causal training -> cli.separate --stream-mode hop."""
     from css_tpu.cli import separate, train
@@ -191,6 +195,7 @@ def test_causal_train_and_hop_streaming_cli(tmp_path):
             "--stream-mode", "hop"])
 
 
+@pytest.mark.slow
 def test_device_mix_train_cli(tmp_path):
     """--device-mix: recipes stream to the chip, audio stays in HBM pools.
 

@@ -18,6 +18,7 @@ from css_tpu.data import SyntheticCorpus
 from css_tpu.data.corpus import synthetic_noise_pool, synthetic_rir_pool
 from css_tpu.data.device_mixer import DeviceMixer, materialize
 from css_tpu.data.mixer import MixtureSynthesizer
+import pytest
 
 
 def _mixer(seed=5, batch_size=6, augment=True, num_speakers=2, **kw):
@@ -76,6 +77,7 @@ def test_device_materialize_k3_no_augment():
         np.testing.assert_allclose(np.asarray(dev[k]), host[k], atol=1e-5)
 
 
+@pytest.mark.slow
 def test_train_step_recipe_equals_audio():
     from css_tpu.models import build_model
     from css_tpu.objectives import build_objective
@@ -122,6 +124,7 @@ def _blstm_trainer():
                    donate=False)
 
 
+@pytest.mark.slow
 def test_data_parallel_with_recipes_matches_audio():
     """DP fed an encoded recipe == DP fed the host-materialized audio.
 
@@ -152,6 +155,7 @@ def test_data_parallel_with_recipes_matches_audio():
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=5e-4)
 
 
+@pytest.mark.slow
 def test_replica_averaging_with_recipes_matches_audio():
     """replica_avg fed recipes == fed audio: the vmapped per-replica step
     materializes each replica's windows from the shared replicated pool."""
@@ -185,6 +189,7 @@ def test_replica_averaging_with_recipes_matches_audio():
     np.testing.assert_allclose(leaf[0], leaf[-1], atol=1e-6)
 
 
+@pytest.mark.slow
 def test_multi_dispatch_with_recipes():
     """G stacked recipe batches scan correctly (same window bucket)."""
     from css_tpu.models import build_model

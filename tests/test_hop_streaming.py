@@ -60,6 +60,7 @@ def test_cumulative_mvn_carry_chaining():
                                np.asarray(full), rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_causal_stream_matches_full_forward():
     model = _causal_model()
     variables = _init(model)
@@ -192,6 +193,7 @@ def _causal_conformer(**kw):
                      left_context=16, **kw)
 
 
+@pytest.mark.slow
 def test_causal_conformer_stream_matches_full_forward():
     """Chunked stream (KV cache + conv tail + running MVN) == the full
     causal forward, including chunks larger than the left context."""
@@ -238,6 +240,7 @@ def test_causal_conformer_hop_pipeline():
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_causal_conformer_trains():
     """--conformer-causal: banded attention + causal conv through one
     train step (conf -> build_model -> Trainer)."""
@@ -262,6 +265,7 @@ def test_causal_conformer_trains():
     assert np.isfinite(float(metrics["loss"]))
 
 
+@pytest.mark.slow
 def test_causal_conformer_stream_kernel_size_one():
     """kernel_size=1 carries zero conv context: the carried tail must stay
     empty instead of accumulating the whole history (regression: [-0:]

@@ -18,6 +18,7 @@ from css_tpu.objectives import OBJECTIVES, build_objective
 from css_tpu.objectives.masksnr import MaskSiSnr
 from css_tpu.ops.stft import stft, stft_mag
 from css_tpu.trainer import LRSchedule, Trainer
+import pytest
 
 
 def _batch(seed=0, batch=4, win=2.0):
@@ -33,6 +34,7 @@ def test_registered():
     assert obj.mag_weight == 0.25
 
 
+@pytest.mark.slow
 def test_oracle_masks_score_near_irm_bound():
     """Feeding ideal-ratio masks must reproduce the IRM-oracle SI-SNR —
     pins the resynthesis path (framing, iSTFT, PIT orientation).
@@ -62,6 +64,7 @@ def test_oracle_masks_score_near_irm_bound():
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow
 def test_masksnr_training_improves_si_snr():
     corpus = SyntheticCorpus(num_speakers=6, utts_per_speaker=3, seed=0)
     loader = MixtureSynthesizer(corpus, batch_size=4, min_window=2.0,
@@ -78,6 +81,7 @@ def test_masksnr_training_improves_si_snr():
     assert float(loss1) < float(loss0), (float(loss0), float(loss1))
 
 
+@pytest.mark.slow
 def test_mag_anchor_changes_loss():
     b = _batch()
     mix = jnp.asarray(b["mix"])

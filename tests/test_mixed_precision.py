@@ -11,6 +11,7 @@ from css_tpu.models.blstm import BLSTM
 from css_tpu.models.conformer import Conformer
 from css_tpu.objectives.mse import MeanSquaredError
 from css_tpu.trainer import LRSchedule, Trainer
+import pytest
 
 
 def test_bf16_training_step_is_finite_and_params_fp32():
@@ -32,6 +33,7 @@ def test_bf16_training_step_is_finite_and_params_fp32():
     assert np.isfinite(float(m2["loss"]))
 
 
+@pytest.mark.slow
 def test_bf16_forward_close_to_fp32():
     rng = np.random.default_rng(0)
     f = jnp.asarray(rng.uniform(0, 1, (2, 30, 257)).astype(np.float32))

@@ -23,6 +23,7 @@ def _randomize_bn_stats(module, rng):
                     np.float32).clip(0.5))
 
 
+@pytest.mark.slow
 def test_conformer_parity():
     from css.models.conformer import Conformer as RefConformer
 
@@ -107,6 +108,7 @@ def test_conv_tasnet_parity(norm):
     np.testing.assert_allclose(np.asarray(y), y_ref.numpy(), atol=1e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_models_init_and_train_mode_run():
     """Fresh init + train-mode forward (dropout/BN) works for all models."""
     import jax

@@ -66,6 +66,7 @@ def _assert_states_equal(s1, s2):
 
 
 @pytest.mark.parametrize("g", [3, 7])
+@pytest.mark.slow
 def test_scanned_steps_match_single_dispatch(g):
     """7 batches with G=3 (2 full groups + remainder 1) and G=7 (one
     group) must reproduce the G=1 trajectory exactly — dropout keys come
@@ -87,6 +88,7 @@ def test_scanned_steps_match_single_dispatch(g):
     np.testing.assert_allclose(avg1, avg2, rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_mixed_shapes_fall_back_to_single_dispatch():
     """A shape change inside a group must not break (or skew) training:
     the group falls back to per-batch programs and the result still
@@ -139,6 +141,7 @@ def test_mixer_window_group():
     assert len(set(wins)) > 1  # buckets do vary across groups
 
 
+@pytest.mark.slow
 def test_grouping_engages_through_prefetch_loader():
     """The realistic default path — 2 producer threads, shared window
     seed, PrefetchLoader(group=G), shape-aware group pulling — must run

@@ -22,6 +22,10 @@ import jax
 
 from css_tpu.parallel.launch import free_port, spawn_local_workers, wait_all
 
+import pytest
+
+pytestmark = pytest.mark.cluster  # spawns real OS-process jax clusters
+
 REPO = Path(__file__).resolve().parent.parent
 
 

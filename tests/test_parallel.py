@@ -74,6 +74,7 @@ def test_tp_spec_targets_ffn_and_attention():
     assert enc["conv"]["dw_kernel"] == P()
 
 
+@pytest.mark.slow
 def test_dp_with_tp_trains_conformer():
     """Full DP x TP (4x2) Conformer step runs and is finite."""
     model = Conformer(idim=257, num_bins=257, attention_dim=32,
@@ -98,6 +99,7 @@ def test_dp_with_tp_trains_conformer():
     assert len(w1.sharding.device_set) == 8
 
 
+@pytest.mark.slow
 def test_replica_averaging_independent_then_converges():
     trainer = _trainer()
     ra = ReplicaAveraging(trainer, make_mesh(), num_replicas=8)

@@ -23,6 +23,7 @@ import numpy as np
 import torch
 
 import jax.numpy as jnp
+import pytest
 
 sys.path.insert(0, "/root/reference")
 
@@ -38,6 +39,7 @@ class _TupleFix(torch.nn.Module):
         return self.inner(x)[0]
 
 
+@pytest.mark.slow
 def test_import_reference_trained_mdl(tmp_path):
     from css.models.conformer import Conformer as RefConformer
     from css.objectives.mse import MeanSquaredError as RefMSE

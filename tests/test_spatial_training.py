@@ -17,6 +17,7 @@ from css_tpu.models.blstm import BLSTM
 from css_tpu.objectives.mse import MeanSquaredError
 from css_tpu.ops.features import FeatureExtractor, mvn
 from css_tpu.trainer import LRSchedule, Trainer
+import pytest
 
 IPD = "1,0;2,0;3,0;4,0;5,0;6,0"
 
@@ -60,6 +61,7 @@ def test_trainer_features_match_executor_features():
         np.asarray(mvn(exec_feats, axis=-2)), atol=2e-4)
 
 
+@pytest.mark.slow
 def test_7ch_training_to_7ch_pipeline(tmp_path):
     """Train the 7ch model briefly, then serve it through the full 7ch
     pipeline (IPD features, DOA merge, MVDR) — loss decreases and the
@@ -125,6 +127,7 @@ def test_device_spatialize_matches_host():
                                atol=1e-6)
 
 
+@pytest.mark.slow
 def test_cli_device_mix_spatial(tmp_path):
     """--spatialize-channels composes with --device-mix end-to-end."""
     from css_tpu.cli import train as train_cli

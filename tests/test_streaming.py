@@ -14,6 +14,7 @@ from css_tpu.data import SyntheticCorpus
 from css_tpu.executor.pipeline import CssPipeline
 from css_tpu.executor.streaming import StreamingCssPipeline
 from css_tpu.models.blstm import BLSTM
+import pytest
 
 
 def make_config(num_spk=2):
@@ -112,6 +113,7 @@ def test_short_recording_single_window():
         assert np.abs(got_n - ref_n).max() < 5e-3
 
 
+@pytest.mark.slow
 def test_streaming_7ch_matches_offline():
     """Multichannel streaming: IPD features + DOA merge + per-window
     beamforming, incremental emission == offline pipeline (modulo peak

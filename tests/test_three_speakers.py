@@ -15,6 +15,7 @@ from css_tpu.executor.stitcher import Stitcher
 from css_tpu.models.blstm import BLSTM
 from css_tpu.objectives.mse import MeanSquaredError
 from css_tpu.trainer import LRSchedule, Trainer
+import pytest
 
 
 def test_mixer_three_speakers():
@@ -27,6 +28,7 @@ def test_mixer_three_speakers():
         b["mix"], b["source1"] + b["source2"] + b["source3"], atol=1e-5)
 
 
+@pytest.mark.slow
 def test_three_speaker_training_step():
     c = SyntheticCorpus(num_speakers=5, utts_per_speaker=2)
     ds = MixtureSynthesizer(c, batch_size=4, min_window=2.0, max_window=2.0,
@@ -72,6 +74,7 @@ def test_stitcher_three_speakers_composes_permutations():
     assert band0 > 5 * other
 
 
+@pytest.mark.slow
 def test_three_speaker_pipeline_end_to_end(tmp_path):
     model = BLSTM(idim=257, num_bins=257, num_spk=3, num_noise=1,
                   hidden_dim=16, num_layers=1, dropout_rate=0.0)

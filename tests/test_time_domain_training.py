@@ -10,8 +10,10 @@ from css_tpu.data.mixer import MixtureSynthesizer
 from css_tpu.models.conv_tasnet import ConvTasNet
 from css_tpu.objectives.snr import SiSnrObjective
 from css_tpu.trainer import LRSchedule, Trainer
+import pytest
 
 
+@pytest.mark.slow
 def test_conv_tasnet_si_snr_training_improves():
     corpus = SyntheticCorpus(num_speakers=4, utts_per_speaker=2,
                              min_dur=2.5, max_dur=4.0)
@@ -38,6 +40,7 @@ def test_conv_tasnet_si_snr_training_improves():
     assert np.mean(losses[-4:]) < np.mean(losses[:4])
 
 
+@pytest.mark.slow
 def test_train_cli_conv_tasnet_snr(tmp_path):
     from css_tpu.cli import train
 

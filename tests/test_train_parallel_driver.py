@@ -14,6 +14,10 @@ from pathlib import Path
 
 from css_tpu.trainer.checkpoint import load_checkpoint
 
+import pytest
+
+pytestmark = pytest.mark.cluster  # spawns real OS-process jax clusters
+
 REPO = Path(__file__).resolve().parent.parent
 
 TRAIN_ARGS = [

@@ -10,6 +10,7 @@ import numpy as np
 
 from css_tpu.cli import wer
 from css_tpu.data.corpus import write_wav
+import pytest
 
 
 def test_edit_distance():
@@ -19,6 +20,7 @@ def test_edit_distance():
     assert wer.edit_distance([], "a b".split()) == 2
 
 
+@pytest.mark.slow
 def test_wer_cli_with_fake_asr(tmp_path):
     est = tmp_path / "est"
     est.mkdir()
