@@ -70,6 +70,7 @@ class CssPipeline:
             sr=self.sr,
             wta_floor=float(bf.get("wta_thresh", 1e-4)),
             num_spk=num_spk,
+            skip_weight=float(sti.get("skip_weight", 0.0)),
         )
         self.beamformer = Beamformer(
             bf_type=bf.get("type", "souden_mvdr"),

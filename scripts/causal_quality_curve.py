@@ -1,0 +1,131 @@
+"""Latency-vs-quality curve: what does causality cost? (VERDICT r2 #9)
+
+Evaluates ONE checkpoint on the held-out session protocol through three
+execution modes of the same pipeline:
+
+  offline  — the full chunked pipeline (cli.separate default): future
+             context within each 2.4 s window, global stitching, global
+             peak normalization. Latency: the whole recording.
+  window   — StreamingCssPipeline: incremental window-granular executor,
+             bounded O(window) memory, stitch state carried forward.
+             Latency ~ eval_win + eval_hop (~3.2 s at defaults).
+  hop      — HopStreamingPipeline (causal checkpoints only): causal
+             model streamed frame-by-frame, no stitcher, latency ~ one
+             STFT hop + dispatch granularity (~48 ms).
+
+Prints one JSON line per mode plus a summary table. The reference has no
+streaming executor at all (css/executor runs whole recordings offline),
+so this curve is a capability the reference cannot measure.
+
+Usage:
+  python scripts/causal_quality_curve.py --checkpoint exp/c1/30.1.mdl \
+      --model BLSTM [--sessions 4] [--voice formant] [--f0-max 400]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--checkpoint", required=True)
+    parser.add_argument("--model", default="BLSTM")
+    parser.add_argument("--sessions", type=int, default=4)
+    parser.add_argument("--session-sec", type=float, default=30.0)
+    parser.add_argument("--seed", type=int, default=123)
+    parser.add_argument("--num-speakers", type=int, default=6)
+    parser.add_argument("--utts-per-speaker", type=int, default=4)
+    parser.add_argument("--voice", default="harmonic",
+                        choices=("harmonic", "formant"))
+    parser.add_argument("--f0-max", type=float, default=None)
+    parser.add_argument("--modes", default="offline,window,hop",
+                        help="comma-separated subset of offline,window,hop")
+    parser.add_argument("--workdir", default="/tmp/css_tpu_causal_curve")
+    args = parser.parse_args(argv)
+
+    import yaml
+
+    from css_tpu.cli import evaluate as evaluate_cli
+    from css_tpu.cli import separate as separate_cli
+    from css_tpu.data import SyntheticCorpus
+    from css_tpu.data.corpus import write_wav
+    from css_tpu.data.sessions import make_session
+    from css_tpu.models import MODELS
+    from css_tpu.trainer import checkpoint as ckpt_io
+
+    ckpt = ckpt_io.load_checkpoint(args.checkpoint)
+    model = MODELS[args.model].build_model(dict(ckpt.get("conf", {})))
+    causal = bool(getattr(model, "causal", False))
+
+    work = Path(args.workdir)
+    mix_dir, ref_dir = work / "mix", work / "ref"
+    for d in (mix_dir, ref_dir):
+        d.mkdir(parents=True, exist_ok=True)
+
+    corpus = SyntheticCorpus(num_speakers=args.num_speakers,
+                             utts_per_speaker=args.utts_per_speaker,
+                             seed=args.seed, f0_max=args.f0_max,
+                             voice=args.voice)
+    rng = np.random.default_rng(args.seed)
+    for i in range(args.sessions):
+        mix, srcs = make_session(corpus, rng, args.session_sec)
+        write_wav(mix_dir / f"sess{i}.wav", mix)
+        for k in range(2):
+            write_wav(ref_dir / f"sess{i}_src{k}.wav", srcs[k])
+
+    config = {
+        "sampling_rate": 16000,
+        "separation": {"batch_size": 32, "eval_win": 2.4, "eval_hop": 0.8,
+                       "frame_length": 512, "frame_shift": 256},
+        "stitching": {"eval_win": 2.4, "eval_hop": 0.8, "hop_size": 256},
+        "beamforming": {"type": "masking", "hop_size": 256, "n_fft": 512,
+                        "eval_hop": 0.8, "eval_win": 2.4,
+                        "proceed_margin": 2, "wta_thresh": 1e-4},
+    }
+    cfg_path = work / "config.yaml"
+    cfg_path.write_text(yaml.safe_dump(config))
+
+    latency = {"offline": "full recording",
+               "window": "~eval_win + push (~3.2 s)",
+               "hop": "~1 STFT hop + push (~48 ms + push granularity)"}
+    results = {}
+    for mode in args.modes.split(","):
+        mode = mode.strip()
+        if mode == "hop" and not causal:
+            results[mode] = {"skipped": "checkpoint is not causal"}
+            continue
+        out_dir = work / f"out_{mode}"
+        sep_args = ["--config", str(cfg_path),
+                    "--checkpoint", args.checkpoint,
+                    "--model", args.model,
+                    "--corpus-dir", str(mix_dir),
+                    "--out-dir", str(out_dir)]
+        if mode != "offline":
+            sep_args += ["--streaming", "--stream-mode",
+                         "window" if mode == "window" else "hop"]
+        separate_cli.main(sep_args)
+        res_path = work / f"results_{mode}.jsonl"
+        evaluate_cli.main(["--estimates", str(out_dir),
+                           "--references", str(ref_dir),
+                           "--mixtures", str(mix_dir),
+                           "--output", str(res_path)])
+        lines = [json.loads(l) for l in open(res_path)]
+        summary = lines[-1]
+        results[mode] = {"si_snri_db": summary.get("mean_si_snri_db",
+                                                   summary.get("si_snri_db")),
+                         "latency": latency[mode],
+                         "per_session": [r.get("si_snri_db") for r in
+                                         lines[:-1]]}
+        print(f"{mode}: {json.dumps(results[mode])}")
+
+    print(json.dumps({"checkpoint": args.checkpoint, "causal": causal,
+                      "modes": results}))
+
+
+if __name__ == "__main__":
+    main()

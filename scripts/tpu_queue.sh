@@ -97,7 +97,44 @@ if step 7 kernels; then
   } 2>&1 | tee exp/kernels.log && marker kernels
 fi
 
-if step 8 bench; then
+causal_common=(--objective MSE
+  --synthetic-data --synthetic-speakers 96 --synthetic-utts 12
+  --synthetic-f0-max 400 --synthetic-voice formant
+  --batch-size 32 --num-epochs 30 --batches-per-epoch 512
+  --optim adam --lr 1e-4 --warmup 10000 --decay 2e-5
+  --weight-decay 0.01 --grad-thresh 5.0 --mse-noise-weight 0.3
+  --keep-best --validate-batches 16 --probe-sessions 4
+  --keep-every 10 --keep-last 2
+  --device-mix --bf16 --steps-per-dispatch 16 --num-workers 2 --job 1)
+
+if step 8 c1; then
+  python -m css_tpu.cli.train --expdir exp/c1 --model Conformer \
+    --conformer-causal "${causal_common[@]}" \
+    2>&1 | tee exp/c1.log && marker c1
+fi
+
+if step 9 c2; then
+  python -m css_tpu.cli.train --expdir exp/c2 --model BLSTM \
+    --blstm-causal "${causal_common[@]}" \
+    2>&1 | tee exp/c2.log && marker c2
+fi
+
+if step 10 curve; then
+  {
+    for spec in "Conformer exp/f1/best.1.mdl offline,window" \
+                "Conformer exp/c1/best.1.mdl offline,window,hop" \
+                "BLSTM exp/c2/best.1.mdl offline,window,hop"; do
+      set -- $spec
+      [ -f "$2" ] || continue
+      echo "== latency/quality curve: $2"
+      python scripts/causal_quality_curve.py --checkpoint "$2" \
+        --model "$1" --modes "$3" --voice formant \
+        --workdir "/tmp/curve_$(basename "$2" .mdl)_$1"
+    done
+  } 2>&1 | tee exp/curve.log && marker curve
+fi
+
+if step 11 bench; then
   python bench.py 2>&1 | tee exp/bench_queue.log && marker bench
 fi
 
