@@ -43,6 +43,7 @@ class Beamformer:
         extra_samples: int = 256,
         diag_loading: float = 1e-15,
         mask_shift: int = 1,
+        mvdr_noise: str = "noise",
     ):
         # accept the reference's asteroid class names (conf/config_1ch.yaml:21)
         # so every entry point — offline pipeline, streaming, sharded —
@@ -65,6 +66,18 @@ class Beamformer:
         self.dedup_floor = 10.0 ** (dedup_floor_db / 20.0)
         self.diag_loading = diag_loading
         self.mask_shift = int(mask_shift)
+        # distortion-SCM mask for the MVDR path:
+        #   "noise"    — the stitched noise stream only (reference
+        #                semantics, beamformer.py:59,151-152: both streams
+        #                share ONE noise SCM, so the beam never nulls the
+        #                competing speaker);
+        #   "residual" — noise + every OTHER speaker's mask: the
+        #                interferer enters the distortion statistics and
+        #                the Souden solve places a spatial null on it.
+        if mvdr_noise not in ("noise", "residual"):
+            raise ValueError(f"mvdr_noise must be 'noise' or 'residual', "
+                             f"got {mvdr_noise!r}")
+        self.mvdr_noise = mvdr_noise
         self._process = jax.jit(self._process_impl)
 
     # ------------------------------------------------------------------ core
@@ -132,8 +145,15 @@ class Beamformer:
             return wavs.reshape(b, k, -1)
         spec = stft_ops.stft(wav_windows, self.n_fft, self.hop_length,
                              center=True)  # (B, D, T', F)
+        def _distortion(i):
+            if self.mvdr_noise == "residual":
+                others = (jnp.sum(speaker_masks, axis=1)
+                          - speaker_masks[:, i])
+                return jnp.minimum(noise_mask + others, 1.0)
+            return noise_mask
         outs = jnp.stack(
-            [self._beamform_windows(spec, speaker_masks[:, i], noise_mask)
+            [self._beamform_windows(spec, speaker_masks[:, i],
+                                    _distortion(i))
              for i in range(k)], axis=1)  # (B, K, T, F)
         outs = self._dedup(outs)
         b = outs.shape[0]

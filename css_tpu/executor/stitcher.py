@@ -46,12 +46,13 @@ class Stitcher:
         self.wta_floor = wta_floor
         self.num_spk = num_spk
         self.skip_weight = float(skip_weight)
-        self._stitch = jax.jit(self._stitch_impl)
+        self._stitch = jax.jit(self._stitch_impl,
+                               static_argnames=("soft",))
 
     # masks: (B, T, F, K+noise) per window, mags: (B, T, F)
-    def _stitch_impl(self, masks, mags):
+    def _stitch_impl(self, masks, mags, soft=False):
         perms = self.get_stitch(masks, mags)
-        return self.get_connect(perms, masks)
+        return self.get_connect(perms, masks, soft=soft)
 
     def _margin_costs(self, e, margin, gap):
         """Per-boundary permutation costs from a shared overlap region.
@@ -132,12 +133,16 @@ class Stitcher:
         states = jnp.concatenate([path, last[None]])  # (B-1,)
         return table[states]  # (B-1, K)
 
-    def get_connect(self, perms, masks, valid=None):
+    def get_connect(self, perms, masks, valid=None, soft=False):
         """Permutation composition scan + WTA + overlap-average
         (stitcher.py:54-110).
 
         ``valid`` (B,) optionally marks real windows: padded windows (from
         sharded batching) contribute neither mask mass nor coverage count.
+        ``soft=True`` skips the winner-take-all flooring — routed soft
+        masks for consumers that need honest per-bin statistics (e.g.
+        MVDR spatial-covariance estimation, where WTA's 1e-4 floors
+        corrupt the SCMs).
         Returns K+1 arrays (speaker streams + noise), each (T_total, F)
         time-major.
         """
@@ -162,9 +167,11 @@ class Stitcher:
             masks[..., : k], assign[:, None, None, :], axis=-1)  # (B,T,F,K)
         noise = masks[..., k:]  # (B, T, F, n_noise)
         m = jnp.concatenate([routed, noise], axis=-1)
-        # winner-take-all across all streams per TF bin (stitcher.py:77-83)
-        m_max = jnp.max(m, axis=-1, keepdims=True)
-        m = jnp.where(m == m_max, m, jnp.asarray(self.wta_floor, m.dtype))
+        if not soft:
+            # winner-take-all across streams per TF bin (stitcher.py:77-83)
+            m_max = jnp.max(m, axis=-1, keepdims=True)
+            m = jnp.where(m == m_max, m, jnp.asarray(self.wta_floor,
+                                                     m.dtype))
         if valid is not None:
             m = m * valid[:, None, None, None].astype(m.dtype)
         # overlap-average over windows with hop_frames (stitcher.py:85-110)
@@ -178,6 +185,7 @@ class Stitcher:
         avg = jnp.transpose(summed / count, (2, 0, 1))  # (T_total, F, S)
         return tuple(avg[..., s] for s in range(avg.shape[-1]))
 
-    def __call__(self, masks, mags):
+    def __call__(self, masks, mags, soft=False):
         """masks (B, T, F, K+noise), mags (B, T, F) -> K+1 x (T_total, F)."""
-        return self._stitch(jnp.asarray(masks), jnp.asarray(mags))
+        return self._stitch(jnp.asarray(masks), jnp.asarray(mags),
+                            soft=soft)

@@ -9,6 +9,11 @@ trace viewer. Run when the chip is otherwise idle.
 
 from __future__ import annotations
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
+
 import argparse
 import json
 import time

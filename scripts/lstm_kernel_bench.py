@@ -16,6 +16,11 @@ by >10%; delete the env flag if it loses. Run on the real TPU.
 
 from __future__ import annotations
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
+
 import functools
 import json
 import time

@@ -8,6 +8,11 @@ before committing TPU time to the Conformer fine-tune phase
 
 from __future__ import annotations
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
+
 import argparse
 import json
 import sys

@@ -12,6 +12,11 @@ Pallas BLSTM eval path.
 
 from __future__ import annotations
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
+
 import argparse
 import json
 import time

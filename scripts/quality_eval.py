@@ -16,6 +16,11 @@ SI-SNRi on synthetic sessions is the self-measured stand-in).
 
 from __future__ import annotations
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
+
 import argparse
 import json
 from pathlib import Path

@@ -15,6 +15,11 @@ runs. Per point: fixed PER-DEVICE batch, growing global batch; efficiency
 
 from __future__ import annotations
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
+
 import argparse
 import json
 import time

@@ -81,9 +81,9 @@ if step 6 s7eval; then
   {
     for ck in exp/s7/40.1.mdl exp/s7/best.1.mdl; do
       [ -f "$ck" ] || continue
-      echo "== $ck (trained-mask spatial, MVDR vs masking)"
+      echo "== $ck (trained-mask spatial, MVDR vs masking + ablation grid)"
       python scripts/spatial_quality_eval.py --checkpoint "$ck" \
-        --model Conformer --voice formant --merge
+        --model Conformer --voice formant --merge --ablate
     done
   } 2>&1 | tee exp/s7eval.log && marker s7eval
 fi

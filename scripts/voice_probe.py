@@ -13,6 +13,11 @@ Usage: python scripts/voice_probe.py [--voice harmonic|formant]
 
 from __future__ import annotations
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
+
 import argparse
 import json
 import sys
