@@ -351,7 +351,14 @@ class Trainer:
                 group.append(batch)
                 ovls.append(ovl)
             g = len(group)
-            stacked = self._stack_group(group) if g > 1 else None
+            # only full-size groups get the scanned program: each distinct
+            # group length g would compile its OWN program per window
+            # bucket (epoch boundaries split the loader's 16-runs into
+            # arbitrary 2..15 remainders — measured as an hours-long
+            # compile tail over a tunneled backend). Quantizing dispatch
+            # sizes to {G, 1} caps the program zoo at 2 per bucket; the
+            # ≤G-1 per-step dispatches per epoch boundary cost ~0.2 s
+            stacked = self._stack_group(group) if g == g_max else None
             if stacked is not None:
                 state, metrics = self._train_multi(state, stacked, rng, pools)
                 loss_chunks.append(metrics["loss"])  # (g,) device, no sync
