@@ -218,5 +218,13 @@ def istft(
             else:
                 sig = sig[..., :length]
     elif length is not None:
-        sig = sig[..., :length]
+        if length > sig.shape[-1]:
+            # the frame grid covers (T-1)*hop + frame_len samples, which
+            # undershoots `length` whenever (length - frame_len) is not a
+            # hop multiple (e.g. 3.0 s windows at 512/256) — pad the
+            # remainder with silence like the centered branch does
+            sig = jnp.pad(sig, [(0, 0)] * (sig.ndim - 1)
+                          + [(0, length - sig.shape[-1])])
+        else:
+            sig = sig[..., :length]
     return sig

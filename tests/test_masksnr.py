@@ -95,3 +95,31 @@ def test_mag_anchor_changes_loss():
     anchored, aux = MaskSiSnr(mag_weight=1.0)((None, masks), batch)
     assert float(anchored) > float(plain)
     assert float(aux["mag_loss"]) > 0
+
+
+def test_masksnr_non_hop_aligned_window():
+    """3.0 s windows (48000 samples) leave a 128-sample remainder beyond
+    the frame grid; the resynthesis must pad to the source length instead
+    of crashing (this killed the round-3 fine-tune at the pinned
+    validation bucket)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from css_tpu.objectives.masksnr import MaskSiSnr
+
+    obj = MaskSiSnr()
+    b, n = 2, 48000
+    rng = np.random.default_rng(0)
+    frames = (n - 512) // 256 + 1
+    masks = jnp.asarray(rng.uniform(size=(b, frames, 257, 3))
+                        .astype(np.float32))
+    batch = {
+        "mix_wav": jnp.asarray(
+            rng.standard_normal((b, n)).astype(np.float32)),
+        "source1": jnp.asarray(
+            rng.standard_normal((b, n)).astype(np.float32)),
+        "source2": jnp.asarray(
+            rng.standard_normal((b, n)).astype(np.float32)),
+    }
+    loss, aux = obj((None, masks), batch)
+    assert np.isfinite(float(loss))
