@@ -6,6 +6,7 @@ loop replaced by the fully vectorized batch PIT (css_tpu.ops.pit).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from css_tpu.objectives.base import OBJECTIVES
@@ -24,8 +25,9 @@ class MeanSquaredError:
     the noise mask to capture the non-speech residual.
     """
 
-    def __init__(self, noise_weight: float = 0.0):
+    def __init__(self, noise_weight: float = 0.0, order_weight: float = 0.0):
         self.noise_weight = noise_weight
+        self.order_weight = order_weight
 
     @staticmethod
     def add_args(parser):
@@ -33,10 +35,22 @@ class MeanSquaredError:
         # noise term); enable explicitly for in-framework training so the
         # noise mask learns the non-speech residual
         parser.add_argument("--mse-noise-weight", type=float, default=0.0)
+        parser.add_argument(
+            "--mse-order-weight", type=float, default=0.0,
+            help="canonical slot-ordering pressure: blend the PIT loss "
+                 "with the loss under a FIXED assignment (slot 0 = lower "
+                 "spectral-centroid speaker). A model that emits speakers "
+                 "in a canonical order keeps its slot assignment stable "
+                 "across inference windows, so the stitcher's boundary "
+                 "decisions (which fail when the overlap region has one "
+                 "silent speaker — no evidence either way) become "
+                 "near-trivial. PIT alone leaves the per-window slot "
+                 "convention arbitrary (css/objectives/pit.py:5)")
 
     @classmethod
     def build_objective(cls, conf):
-        return cls(noise_weight=float(conf.get("mse_noise_weight", 0.0)))
+        return cls(noise_weight=float(conf.get("mse_noise_weight", 0.0)),
+                   order_weight=float(conf.get("mse_order_weight", 0.0)))
 
     @classmethod
     def add_state_dict(cls, s1, s2, fraction, iteration=None):
@@ -60,8 +74,45 @@ class MeanSquaredError:
             (k for k in batch if k.startswith("source") and k[6:].isdigit()),
             key=lambda k: int(k[6:]))
         y_true = jnp.stack([batch[k] for k in src_keys], axis=1)
+        conf = None
+        if self.order_weight:
+            # canonical target order: slot k = k-th lowest energy-weighted
+            # spectral centroid. Sorting the TARGETS is permutation book-
+            # keeping, not a gradient path — the model still learns via
+            # the blended losses below.
+            f_idx = jnp.arange(y_true.shape[-1], dtype=y_true.dtype)
+            power = jnp.sum(y_true, axis=(2, 3))  # (B, K)
+            centroid = (jnp.sum(y_true * f_idx, axis=(2, 3))
+                        / jnp.maximum(power, 1e-6))  # (B, K)
+            order = jnp.argsort(centroid, axis=1)  # (B, K)
+            y_canon = jnp.take_along_axis(
+                y_true, order[:, :, None, None], axis=1)
+            # confidence gate: pairs whose canonical key is ambiguous
+            # (adjacent centroids close, in bin units) keep pure PIT —
+            # measured at smoke scale that ungated ordering pressure
+            # HURTS close-centroid pairs while helping distinct ones
+            sorted_c = jnp.take_along_axis(centroid, order, axis=1)
+            gap = jnp.min(jnp.diff(sorted_c, axis=1), axis=1)  # (B,)
+            conf = jax.nn.sigmoid((gap - 4.0) / 2.0)  # ~0 below 2 bins
+            per_ex_canon = jnp.mean(
+                jnp.square(y_pred - y_canon), axis=(1, 2, 3))  # (B,)
+            y_true = y_canon  # PIT over canonical order: same minimum
         loss, perms = batch_pit_loss(y_pred, y_true, loss_fn=mse_pairwise)
         aux = {"perms": perms}
+        if self.order_weight:
+            w = self.order_weight * conf  # (B,) per-example blend
+            canon_loss = jnp.mean(per_ex_canon)
+            # canon >= pit per example; the gap is exactly the cost of
+            # emitting speakers out of canonical order
+            aux["order_gap"] = canon_loss - loss
+            # per-example blend; perms permute the ESTIMATE (pit_loss
+            # semantics), and jnp.mean of per-example PIT == `loss`
+            # under mse_pairwise's uniform mean
+            per_ex_pit = jnp.mean(
+                jnp.square(jnp.take_along_axis(
+                    y_pred, perms[:, :, None, None], axis=1) - y_true),
+                axis=(1, 2, 3))
+            loss = jnp.mean((1.0 - w) * per_ex_pit + w * per_ex_canon)
         if self.noise_weight and masks is not None and "input" in batch:
             # multichannel features are [ch0 magnitude, IPD...]; the mask
             # contract applies to the first num_bins (= target width)
