@@ -105,10 +105,10 @@ def main():
         )(jax.device_put(rng, cpu), feats0)
     variables = jax.device_put(variables, jax.devices()[0])
 
-    from css_tpu.ops.stft_pallas import stft_mag
+    from css_tpu.ops.stft import stft_mag
 
     def forward(wav):
-        mag = stft_mag(wav, 512, 256)  # fused Pallas kernel on TPU
+        mag = stft_mag(wav, 512, 256)  # XLA framing+rDFT matmul
         _, masks = model.apply(variables, mag, train=False)
         return jnp.minimum(masks, 1.0)
 

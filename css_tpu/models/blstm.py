@@ -44,17 +44,16 @@ def lstm_scan(xw: jax.Array, w_hh: jax.Array, hidden: int,
     final (h, c) (forward direction only — a reverse scan has no causal
     carry to chain).
     """
-    if (use_pallas and state is None and not return_state
+    if (use_pallas and not differentiable and state is None
+            and not return_state
             and jax.default_backend() in ("tpu", "axon")):
-        from css_tpu.ops.lstm_pallas import (lstm_fused, lstm_fused_train,
-                                             supported, train_fused_enabled)
+        # eval-path only: the fused TRAINING variant measured 0.5-0.6x
+        # the XLA scan's free VJP on hardware and was deleted
+        # (ops/lstm_pallas.py docstring)
+        from css_tpu.ops.lstm_pallas import lstm_fused, supported
 
         if supported(xw.shape[0], hidden, xw.dtype):
-            if differentiable:
-                if train_fused_enabled():
-                    return lstm_fused_train(xw, w_hh, hidden, reverse)
-            else:
-                return lstm_fused(xw, w_hh, hidden, reverse=reverse)
+            return lstm_fused(xw, w_hh, hidden, reverse=reverse)
     b = xw.shape[0]
     if state is None:
         state = (jnp.zeros((b, hidden), xw.dtype),

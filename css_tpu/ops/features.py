@@ -100,12 +100,10 @@ class FeatureExtractor:
         frame_hop: int = 256,
         round_pow_of_two: bool = True,
         ipd_index: Optional[str] = None,
-        use_pallas: str = "auto",
     ):
         self.frame_len = frame_len
         self.frame_hop = frame_hop
         self.round_pow_of_two = round_pow_of_two
-        self.use_pallas = use_pallas
         self.num_bins = stft_ops.num_fft_bins(frame_len, round_pow_of_two)
         if ipd_index:
             self.ipd_left, self.ipd_right = parse_ipd_index(ipd_index)
@@ -120,18 +118,14 @@ class FeatureExtractor:
         Returns (mag, feats, spec):
           mag:   (B, T_frames, F) first-channel magnitude
           feats: (B, T_frames, F') MVN magnitude [+ IPD]
-          spec:  (B[, C], T_frames, F) complex spectrum (None on the
-                 fused single-channel Pallas path, which never builds it)
-        """
-        if (x.ndim == 2 and self.ipd_left is None
-                and self.use_pallas in ("auto", "always")
-                and self.frame_len == 2 * self.frame_hop):
-            from css_tpu.ops.stft_pallas import stft_mag as fused_mag
+          spec:  (B[, C], T_frames, F) complex spectrum
 
-            mag = fused_mag(x, self.frame_len, self.frame_hop)
-            f = jnp.maximum(mag, EPSILON)
-            f = mvn(f, axis=-2)
-            return mag, f, None
+        (A fused Pallas framing+rDFT+magnitude kernel lived here through
+        round 2; the round-3 hardware sweep measured it at 0.88x the XLA
+        matmul formulation, which now wins outright — deleted per the
+        no-dead-kernel rule. The fused masked-iSTFT kernel, which wins
+        2.7x, remains in ops/istft_pallas.py.)
+        """
         spec = stft_ops.stft(
             x, self.frame_len, self.frame_hop,
             center=False, round_pow_of_two=self.round_pow_of_two,

@@ -151,9 +151,9 @@ class Trainer:
         src = self.source_keys(batch)
         if self.input_domain == "time":
             return {"input": batch["mix"], **{k: batch[k] for k in src}}
-        # fused Pallas STFT-magnitude on TPU, XLA elsewhere; magnitudes are
-        # loss inputs/targets only, so no VJP is needed through the STFT
-        from css_tpu.ops.stft_pallas import stft_mag
+        # magnitudes are loss inputs/targets only, so no VJP is needed
+        # through the STFT
+        from css_tpu.ops.stft import stft_mag
 
         fl, fh = self.features.frame_len, self.features.frame_hop
         if batch["mix"].ndim == 3:  # (B, C, N) multichannel (7ch training)

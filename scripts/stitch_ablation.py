@@ -77,7 +77,7 @@ def main(argv=None):
     from css_tpu.executor.beamformer import Beamformer
     from css_tpu.executor.separator import Separator
     from css_tpu.executor.stitcher import Stitcher
-    from css_tpu.ops.stft_pallas import stft_mag
+    from css_tpu.ops.stft import stft_mag
     from css_tpu.utils.metrics import si_snr_improvement_db
 
     from css_tpu.models import MODELS

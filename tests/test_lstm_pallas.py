@@ -57,46 +57,3 @@ def test_scan_dispatch_unchanged_on_cpu():
     a = lstm_scan(xw, w_hh, 128, use_pallas=True)
     b = lstm_scan(xw, w_hh, 128, use_pallas=False)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-
-
-def test_train_vjp_matches_scan_grads():
-    from css_tpu.ops.lstm_pallas import lstm_fused_train
-
-    xw, w_hh = make(b=8, t=10, h=128, seed=4)
-
-    def loss_scan(xw, w):
-        return jnp.sum(jnp.tanh(lstm_scan(xw, w, 128)) ** 2)
-
-    def loss_fused(xw, w):
-        return jnp.sum(jnp.tanh(
-            lstm_fused_train(xw, w, 128, False, True)) ** 2)
-
-    ref_val, ref_grads = jax.value_and_grad(loss_scan, argnums=(0, 1))(
-        xw, w_hh)
-    got_val, got_grads = jax.value_and_grad(loss_fused, argnums=(0, 1))(
-        xw, w_hh)
-    np.testing.assert_allclose(float(got_val), float(ref_val), rtol=1e-5)
-    np.testing.assert_allclose(np.asarray(got_grads[0]),
-                               np.asarray(ref_grads[0]),
-                               rtol=1e-4, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(got_grads[1]),
-                               np.asarray(ref_grads[1]),
-                               rtol=1e-4, atol=1e-5)
-
-
-def test_train_vjp_reverse_direction():
-    from css_tpu.ops.lstm_pallas import lstm_fused_train
-
-    xw, w_hh = make(b=8, t=7, h=128, seed=5)
-
-    def loss_scan(xw, w):
-        return jnp.sum(lstm_scan(xw, w, 128, reverse=True) ** 2)
-
-    def loss_fused(xw, w):
-        return jnp.sum(lstm_fused_train(xw, w, 128, True, True) ** 2)
-
-    ref = jax.grad(loss_scan, argnums=(0, 1))(xw, w_hh)
-    got = jax.grad(loss_fused, argnums=(0, 1))(xw, w_hh)
-    for a, b in zip(got, ref):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-4, atol=1e-5)
