@@ -72,6 +72,10 @@ class CssPipeline:
             num_spk=num_spk,
             skip_weight=float(sti.get("skip_weight", 0.0)),
         )
+        # session-level stream-identity re-anchoring (speaker tracking):
+        # repairs stitcher identity flips at no-evidence boundaries using
+        # long-horizon timbre profiles (executor/reanchor.py)
+        self.reanchor = bool(sti.get("reanchor", False))
         self.beamformer = Beamformer(
             bf_type=bf.get("type", "souden_mvdr"),
             sr=self.sr,
@@ -102,7 +106,13 @@ class CssPipeline:
             masks, mags = self.separator.separate(wav)
             stitched = [np.asarray(m) for m in self.stitcher(masks, mags)]
         outs = self.beamformer.continuous_process(wav, stitched)
-        return tuple(o[:total] for o in outs)
+        outs = tuple(o[:total] for o in outs)
+        if self.reanchor:
+            from css_tpu.executor.reanchor import reanchor_streams
+
+            outs, _ = reanchor_streams(list(outs), sr=self.sr)
+            outs = tuple(outs)
+        return outs
 
     def process_recording(self, key: str, wav: np.ndarray, out_dir: str):
         """Separate one recording and write {key}_{i}.wav per stream
