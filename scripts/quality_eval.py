@@ -75,6 +75,9 @@ def main(argv=None):
                         help="synthetic voice model (match training)")
     parser.add_argument("--workdir", default="/tmp/css_tpu_quality")
     parser.add_argument("--beamformer", default="masking")
+    parser.add_argument("--reanchor", action="store_true",
+                        help="enable session-level stream-identity "
+                             "re-anchoring (executor/reanchor.py)")
     parser.add_argument("--skip-oracle", action="store_true")
     parser.add_argument("--stratify-f0", action="store_true",
                         help="pick session speaker pairs evenly across the "
@@ -128,7 +131,8 @@ def main(argv=None):
         "sampling_rate": 16000,
         "separation": {"batch_size": 32, "eval_win": 2.4, "eval_hop": 0.8,
                        "frame_length": 512, "frame_shift": 256},
-        "stitching": {"eval_win": 2.4, "eval_hop": 0.8, "hop_size": 256},
+        "stitching": {"eval_win": 2.4, "eval_hop": 0.8, "hop_size": 256,
+                      "reanchor": bool(args.reanchor)},
         "beamforming": {"type": args.beamformer, "hop_size": 256,
                         "n_fft": 512, "eval_hop": 0.8, "eval_win": 2.4,
                         "proceed_margin": 2, "wta_thresh": 1e-4},
