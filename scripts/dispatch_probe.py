@@ -37,6 +37,10 @@ def main():
     ap.add_argument("--groups", type=int, nargs="+", default=[16, 64])
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--win-sec", type=float, default=2.5)
+    ap.add_argument("--loop", action="store_true",
+                    help="also run the REAL train_one_epoch loop (with a "
+                         "PrefetchLoader) to reproduce in-harness ms/step")
+    ap.add_argument("--loop-steps", type=int, default=256)
     args = ap.parse_args()
 
     import jax
@@ -88,7 +92,10 @@ def main():
         state, m = trainer._train_multi(state, stacked, rng, pools)
         jax.block_until_ready(state.params)
 
-        # (a) numpy args, timed per call + total
+        # (a) numpy args, timed per call + total. The flush at the end is
+        # a device_get of the last metrics (NOT block_until_ready: on the
+        # axon backend blocking on donated outputs returns early, which
+        # makes enqueue look like execution)
         call_times = []
         t0 = time.perf_counter()
         for _ in range(args.iters):
@@ -96,7 +103,7 @@ def main():
             tc = time.perf_counter()
             state, m = trainer._train_multi(state, stacked, rng, pools)
             call_times.append(time.perf_counter() - tc)
-        jax.block_until_ready(state.params)
+        jax.device_get(m["loss"])
         dt_numpy = (time.perf_counter() - t0) / (args.iters * g)
 
         # (b) device_put timing: call latency + time-to-ready
@@ -113,7 +120,7 @@ def main():
             staged = jax.device_put(host_group(g))
             jax.block_until_ready(staged)
             state, m = trainer._train_multi(state, staged, rng, pools)
-        jax.block_until_ready(state.params)
+        jax.device_get(m["loss"])
         dt_staged = (time.perf_counter() - t0) / (args.iters * g)
 
         # (d) one-group lookahead: non-blocking put of group k+1 before
@@ -123,7 +130,7 @@ def main():
         for _ in range(args.iters):
             cur, nxt = nxt, jax.device_put(host_group(g))
             state, m = trainer._train_multi(state, cur, rng, pools)
-        jax.block_until_ready(state.params)
+        jax.device_get(m["loss"])
         dt_lookahead = (time.perf_counter() - t0) / (args.iters * g)
 
         results[g] = {
@@ -135,7 +142,40 @@ def main():
             "staged_ms_per_step": round(dt_staged * 1e3, 2),
             "lookahead_ms_per_step": round(dt_lookahead * 1e3, 2),
         }
-        print(json.dumps({"g": g, **results[g]}))
+        print(json.dumps({"g": g, **results[g]}), flush=True)
+
+        if args.loop:
+            # the REAL loop: PrefetchLoader producer threads + window
+            # grouping + interval logging, exactly like cli.train
+            from css_tpu.data import PrefetchLoader
+
+            def make_stream(i=0):
+                m = MixtureSynthesizer(
+                    corpus, batch_size=args.batch, seed=100 + 7 * i,
+                    min_window=args.win_sec, max_window=args.win_sec,
+                    window_group=g)
+                return dmix.wrap(m)
+
+            loader = PrefetchLoader(factory=make_stream, num_threads=2,
+                                    group=g)
+            logs = []
+            t0 = time.perf_counter()
+            state, _ = trainer.train_one_epoch(
+                state, loader, args.loop_steps, rng,
+                log_fn=logs.append, log_every=50,
+                steps_per_dispatch=g, pools=pools)
+            jax.device_get(state.step)
+            dt_loop = (time.perf_counter() - t0) / args.loop_steps
+            loader.close()
+            print(json.dumps({
+                "g": g,
+                "loop_ms_per_step": round(dt_loop * 1e3, 2),
+                "loop_audio_sec_per_s": round(
+                    args.batch * args.win_sec / dt_loop, 1),
+                "interval_audio_sec_per_s": [
+                    round(r["audio_sec_per_sec_per_chip"], 1)
+                    for r in logs],
+            }), flush=True)
 
 
 if __name__ == "__main__":
