@@ -54,6 +54,14 @@ class MixtureSynthesizer:
         parser.add_argument("--window-bucket-step", type=float, default=0.5)
         parser.add_argument("--min-snr", type=float, default=5.0)
         parser.add_argument("--max-snr", type=float, default=20.0)
+        parser.add_argument("--hard-pair-frac", type=float, default=0.0,
+                            help="fraction of mixtures whose speakers are "
+                                 "forced to a close-f0 pair (curriculum "
+                                 "for the hardest separation regime; "
+                                 "needs corpus f0 metadata)")
+        parser.add_argument("--hard-pair-df0", type=float, default=80.0,
+                            help="|f0_a - f0_b| ceiling in Hz defining a "
+                                 "'hard' pair")
 
     @classmethod
     def build_dataset(cls, corpus, conf):
@@ -72,6 +80,8 @@ class MixtureSynthesizer:
             window_group=int(conf.get("steps_per_dispatch", 1)),
             window_seed=(int(conf["window_seed"])
                          if conf.get("window_seed") is not None else None),
+            hard_pair_frac=float(conf.get("hard_pair_frac", 0.0)),
+            hard_pair_df0=float(conf.get("hard_pair_df0", 80.0)),
         )
 
     def __init__(self, corpus: Corpus, batch_size: int = 32,
@@ -82,7 +92,8 @@ class MixtureSynthesizer:
                  reverb_p: float = 0.5, noise_p: float = 0.5,
                  seed: int = 0, use_native: bool = True,
                  num_speakers: int = 2, window_group: int = 1,
-                 window_seed=None):
+                 window_seed=None, hard_pair_frac: float = 0.0,
+                 hard_pair_df0: float = 80.0):
         # K-speaker generalization of the reference's 2-speaker sampling
         # (separation.py:184-189): K distinct speakers, the longest
         # utterance anchors, the rest offset uniformly in [0, dur_base/2]
@@ -105,6 +116,28 @@ class MixtureSynthesizer:
         self._group_left = 0
         self._group_window = None
         self.rng = np.random.default_rng(seed)
+        # hard-pair curriculum: oversample close-f0 speaker pairs — the
+        # separation regime where trained masks measurably fail (chunked
+        # SI-SNRi of close-pair sessions stays negative while far pairs
+        # reach +8 dB, BASELINE.md). Zero extra rng draws when off, so
+        # frac=0.0 is bit-identical to the historical stream.
+        self.hard_pair_frac = float(hard_pair_frac)
+        self.hard_pair_df0 = float(hard_pair_df0)
+        self._hard_neighbors = None
+        if self.hard_pair_frac > 0.0:
+            f0s = getattr(corpus, "f0_by_speaker", None)
+            if not f0s:
+                raise ValueError(
+                    "--hard-pair-frac needs per-speaker f0 metadata "
+                    "(corpus.f0_by_speaker); this corpus has none")
+            vals = np.array([f0s[s] for s in corpus.speakers])
+            close = np.abs(vals[:, None] - vals[None, :]) <= hard_pair_df0
+            np.fill_diagonal(close, False)
+            self._hard_neighbors = [np.flatnonzero(row) for row in close]
+            if not any(len(n) for n in self._hard_neighbors):
+                raise ValueError(
+                    f"no speaker pair is within {hard_pair_df0} Hz — "
+                    "raise --hard-pair-df0 or disable the curriculum")
         # window-bucket draws can come from a DEDICATED stream so that
         # cooperating processes (multi-host DP / replica averaging) sample
         # identical bucket sequences — the global batch must assemble with
@@ -147,8 +180,26 @@ class MixtureSynthesizer:
         feeds both host materialization and device-side materialization
         with an identical rng stream.
         """
-        spk_idx = rng.choice(len(self.corpus.speakers), self.num_speakers,
-                             replace=False)
+        if (self._hard_neighbors is not None
+                and rng.uniform() < self.hard_pair_frac):
+            # anchor on a speaker that HAS a close-f0 neighbour, force one
+            # neighbour in, fill the rest uniformly (K > 2)
+            anchors = [i for i, n in enumerate(self._hard_neighbors)
+                       if len(n)]
+            a = anchors[rng.integers(len(anchors))]
+            b = self._hard_neighbors[a][
+                rng.integers(len(self._hard_neighbors[a]))]
+            spk_idx = [a, b]
+            if self.num_speakers > 2:
+                rest = [i for i in range(len(self.corpus.speakers))
+                        if i not in (a, b)]
+                extra = rng.choice(len(rest), self.num_speakers - 2,
+                                   replace=False)
+                spk_idx += [rest[i] for i in extra]
+            spk_idx = np.asarray(spk_idx)
+        else:
+            spk_idx = rng.choice(len(self.corpus.speakers),
+                                 self.num_speakers, replace=False)
         cuts = []
         for si in spk_idx:
             utts = self.corpus.by_speaker[self.corpus.speakers[si]]

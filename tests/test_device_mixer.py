@@ -248,3 +248,53 @@ def test_device_materialize_honors_normalize_output_false():
     dev = jax.jit(materialize)(pools, jax.tree.map(jnp.asarray, enc))
     np.testing.assert_allclose(np.asarray(dev["mix"]), host["mix"],
                                atol=3e-4)
+
+
+def test_hard_pair_curriculum():
+    """--hard-pair-frac forces ~frac of mixtures to close-f0 pairs, and
+    the recipe path stays bit-identical to the classic __next__ path."""
+    c = SyntheticCorpus(num_speakers=12, utts_per_speaker=3, seed=2,
+                        f0_max=400.0)
+    f0 = c.f0_by_speaker
+    kw = dict(batch_size=8, min_window=2.0, max_window=2.0,
+              hard_pair_frac=0.5, hard_pair_df0=60.0)
+    a = MixtureSynthesizer(c, seed=3, **kw)
+    b = MixtureSynthesizer(c, seed=3, **kw)
+    # parity: recipe host materialization == classic path with curriculum on
+    classic = next(a)
+    recon = b.materialize_recipe_host(b.sample_recipe())
+    np.testing.assert_allclose(recon["mix"], classic["mix"], atol=1e-5)
+
+    # statistics: with frac=0.5 and 12 uniform speakers, close pairs must
+    # appear far more often than the uniform base rate
+    def close_rate(mixer, batches=40):
+        n_close = n = 0
+        for _ in range(batches):
+            r = mixer.sample_recipe()
+            for row in r["utt"]:
+                pair = [f0[c.utterances[i].speaker] for i in row[:2]]
+                n += 1
+                n_close += abs(pair[0] - pair[1]) <= 60.0
+        return n_close / n
+
+    rate_on = close_rate(MixtureSynthesizer(c, seed=7, **kw))
+    rate_off = close_rate(MixtureSynthesizer(
+        c, seed=7, batch_size=8, min_window=2.0, max_window=2.0))
+    # frac=0.5 of DRAWS are forced-close; rows per draw vary, so the
+    # realized row-level lift is below frac*(1-base) but must be large
+    assert rate_on > rate_off + 0.15, (rate_on, rate_off)
+    assert rate_on > 0.5, rate_on
+
+
+def test_hard_pair_frac_zero_is_bit_identical():
+    """frac=0.0 must not consume any extra rng draws (historical stream)."""
+    a = _mixer(seed=11)
+    b = MixtureSynthesizer(
+        SyntheticCorpus(num_speakers=5, utts_per_speaker=3, seed=1),
+        batch_size=6, min_window=2.0, max_window=3.0, seed=11,
+        rir_pool=synthetic_rir_pool(4),
+        noise_pool=synthetic_noise_pool(2, dur=2.0),
+        hard_pair_frac=0.0)
+    for _ in range(2):
+        x, y = next(a), next(b)
+        np.testing.assert_array_equal(x["mix"], y["mix"])
