@@ -20,7 +20,17 @@ Design stance (vs the reference):
 
 __version__ = "0.1.0"
 
+import os as _os
+
 import jax as _jax
+
+# CSS_TPU_PLATFORM=cpu|tpu|... pins the JAX backend for every css_tpu
+# entrypoint. The env var JAX_PLATFORMS alone is not reliable: dev images
+# may re-force an accelerator plugin from sitecustomize at interpreter
+# startup, so the config is updated explicitly (before backend init —
+# importing css_tpu must precede any jax device use for this to bind).
+if _os.environ.get("CSS_TPU_PLATFORM"):
+    _jax.config.update("jax_platforms", _os.environ["CSS_TPU_PLATFORM"])
 
 # fp32 matmuls must actually be fp32: JAX's default lowers f32 dots to
 # multi-pass bf16 on TPU (and mirrors that on CPU), which breaks numerical

@@ -53,6 +53,7 @@ class StreamingCssPipeline:
 
     def __init__(self, model, variables, config: dict, sr: int = 16000):
         sep = config.get("separation", {})
+        sti = config.get("stitching", {})
         bf = config.get("beamforming", {})
         self.sr = int(config.get("sampling_rate", sr))
         num_spk = int(sep.get("num_spk", getattr(model, "num_spk", 2) or 2))
@@ -108,6 +109,27 @@ class StreamingCssPipeline:
         self._n_bf = 0  # beamform windows emitted
         self._flushed = False
 
+        # ----- online stream-identity re-anchoring (speaker tracking) ---
+        # Causal counterpart of executor/reanchor.py: per-stream timbre
+        # profiles accumulate over ~block_sec of ROUTED masked magnitude;
+        # at each block boundary, if a non-identity permutation matches
+        # the long-horizon anchors decisively better, the running
+        # `_assign` is corrected for all FUTURE windows. Already-emitted
+        # audio cannot be rewritten (causality), so a stitcher flip costs
+        # at most one block instead of the rest of the stream. Enable
+        # with ``stitching: {reanchor: true}`` — same flag as offline.
+        self.reanchor = bool(sti.get("reanchor", False))
+        self._ra_block_frames = int(
+            float(sti.get("reanchor_block_sec", 8.0)) * self.sr / fft_hop)
+        self._ra_conf = float(sti.get("reanchor_confidence", 0.04))
+        self._ra_anchors = None  # (K, F) unit profiles (or None rows)
+        self._ra_aw = np.zeros(num_spk)  # anchor weights (active frames)
+        self._ra_sum = None  # (K, F) running block profile sums
+        self._ra_cnt = np.zeros(num_spk)  # active frames this block
+        self._ra_ref = 0.0  # decaying max frame energy (activity ref)
+        self._ra_next_block = self._ra_block_frames
+        self._ra_min_active = max(4, int(0.2 * self.sr / fft_hop))
+
     # ------------------------------------------------------------- buffering
     def _audio_slice(self, start: int, n: int) -> np.ndarray:
         """(D, <=n) of retained audio at ABSOLUTE sample position start."""
@@ -155,6 +177,8 @@ class StreamingCssPipeline:
 
         # route local masks to global streams + winner-take-all
         routed = masks[..., : k][..., self._assign]
+        if self.reanchor:
+            self._reanchor_accumulate(routed, mag)
         m = np.concatenate([routed, masks[..., k:]], axis=-1)  # (T, F, S)
         m_max = m.max(axis=-1, keepdims=True)
         m = np.where(m == m_max, m, np.float32(self.wta_floor))
@@ -176,6 +200,85 @@ class StreamingCssPipeline:
         self._mask_sum[start:end] += m
         self._mask_cnt[start:end] += 1.0
         self._n_sep += 1
+
+    # --------------------------------------------- online re-anchoring
+    def _reanchor_accumulate(self, routed: np.ndarray, mag: np.ndarray):
+        """Accumulate per-stream timbre profiles from one routed window
+        and correct `_assign` at block boundaries (causal speaker
+        tracking; profiles/decision math mirror executor/reanchor.py)."""
+        k = self.num_spk
+        e = routed * mag[..., None]  # (T, F, K) masked magnitude
+        en = np.sum(e.astype(np.float64) ** 2, axis=1)  # (T, K) energy
+        t = e.shape[0]
+        self._ra_ref = max(self._ra_ref * (0.995 ** t), float(en.max()))
+        thr = 1e-2 * self._ra_ref  # -20 dB of the running reference
+        if self._ra_sum is None:
+            self._ra_sum = np.zeros((k, e.shape[1]), np.float64)
+        ls = np.log1p(e)
+        for ki in range(k):
+            act = en[:, ki] > thr
+            if act.any():
+                self._ra_sum[ki] += ls[act, :, ki].sum(axis=0)
+                self._ra_cnt[ki] += int(act.sum())
+        if (self._n_sep + 1) * self.hop_frames < self._ra_next_block:
+            return
+        self._ra_next_block += self._ra_block_frames
+        profs = []
+        for ki in range(k):
+            if self._ra_cnt[ki] < self._ra_min_active:
+                profs.append(None)
+                continue
+            p = self._ra_sum[ki] / self._ra_cnt[ki]
+            p = p - p.mean()
+            profs.append(p / (np.linalg.norm(p) + 1e-12))
+
+        def absorb(pr, wt):
+            if self._ra_anchors is None:
+                self._ra_anchors = [None] * k
+            for ki in range(k):
+                if pr[ki] is None:
+                    continue
+                if self._ra_anchors[ki] is None:
+                    self._ra_anchors[ki] = pr[ki].copy()
+                    self._ra_aw[ki] = wt[ki]
+                else:
+                    a = (self._ra_anchors[ki] * self._ra_aw[ki]
+                         + pr[ki] * wt[ki])
+                    a = a - a.mean()
+                    self._ra_anchors[ki] = a / (np.linalg.norm(a) + 1e-12)
+                    self._ra_aw[ki] += wt[ki]
+
+        weights = self._ra_cnt.copy()
+        self._ra_sum[:] = 0.0
+        self._ra_cnt[:] = 0.0
+        if self._ra_anchors is None:
+            absorb(profs, weights)
+            return
+        scores = []
+        for perm in self.perm_table:
+            vals = [float(np.dot(self._ra_anchors[ki], profs[perm[ki]]))
+                    for ki in range(k)
+                    if self._ra_anchors[ki] is not None
+                    and profs[perm[ki]] is not None]
+            scores.append(np.mean(vals) if vals else None)
+        defined = [(sc, tuple(perm)) for sc, perm
+                   in zip(scores, self.perm_table) if sc is not None]
+        if len(defined) < 2:
+            absorb(profs, weights)
+            return
+        defined.sort(key=lambda x: -x[0])
+        best_score, best_perm = defined[0]
+        margin = best_score - defined[1][0]
+        ident = tuple(range(k))
+        if margin < self._ra_conf:
+            return  # ambiguous: keep identity, do not grow anchors
+        if best_perm != ident:
+            # future windows route old slot best_perm[ki] into slot ki
+            best_perm = np.asarray(best_perm)
+            self._assign = self._assign[best_perm]
+            profs = [profs[i] for i in best_perm]
+            weights = weights[best_perm]
+        absorb(profs, weights)
 
     # ----------------------------------------------------------- resynthesis
     def _bf_ready(self, final: bool) -> bool:
