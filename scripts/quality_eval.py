@@ -78,6 +78,9 @@ def main(argv=None):
     parser.add_argument("--reanchor", action="store_true",
                         help="enable session-level stream-identity "
                              "re-anchoring (executor/reanchor.py)")
+    parser.add_argument("--eval-win", type=float, default=2.4,
+                        help="separation window seconds (A/B window-length "
+                             "vs quality; hop scales by the same factor)")
     parser.add_argument("--skip-oracle", action="store_true")
     parser.add_argument("--stratify-f0", action="store_true",
                         help="pick session speaker pairs evenly across the "
@@ -127,14 +130,16 @@ def main(argv=None):
         if not args.skip_oracle:
             oracle.append(irm_oracle_si_snri(mix, srcs))
 
+    ew = float(args.eval_win)
+    eh = round(ew / 3.0, 4)  # keep the reference's 3x window/hop overlap
     config = {
         "sampling_rate": 16000,
-        "separation": {"batch_size": 32, "eval_win": 2.4, "eval_hop": 0.8,
+        "separation": {"batch_size": 32, "eval_win": ew, "eval_hop": eh,
                        "frame_length": 512, "frame_shift": 256},
-        "stitching": {"eval_win": 2.4, "eval_hop": 0.8, "hop_size": 256,
+        "stitching": {"eval_win": ew, "eval_hop": eh, "hop_size": 256,
                       "reanchor": bool(args.reanchor)},
         "beamforming": {"type": args.beamformer, "hop_size": 256,
-                        "n_fft": 512, "eval_hop": 0.8, "eval_win": 2.4,
+                        "n_fft": 512, "eval_hop": eh, "eval_win": ew,
                         "proceed_margin": 2, "wta_thresh": 1e-4},
     }
     cfg_path = work / "config.yaml"
