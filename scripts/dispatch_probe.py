@@ -85,6 +85,27 @@ def main():
     state = trainer.init_state(rng, example, pools)
     jax.block_until_ready(state.params)
 
+    # single-step dispatch baseline (no scan program): numpy recipe args,
+    # 64 dispatches, flushed via device_get of the last metrics. If this
+    # is much faster per step than the scanned groups, the scan carry's
+    # double buffering (no donation inside lax.scan) is the bottleneck,
+    # not dispatch latency.
+    def one_batch():
+        b = dict(next(it))
+        b.pop("ovl", None)
+        return b
+
+    state, m = trainer._train_step(state, one_batch(), rng, pools)
+    jax.device_get(m["loss"])  # compile + flush
+    for iters in (64,):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, m = trainer._train_step(state, one_batch(), rng, pools)
+        jax.device_get(m["loss"])
+        dt1 = (time.perf_counter() - t0) / iters
+    print(json.dumps({"g": 1, "single_step_ms": round(dt1 * 1e3, 2)}),
+          flush=True)
+
     results = {}
     for g in args.groups:
         # compile once
