@@ -77,6 +77,13 @@ def main(argv=None):
                              "dispatch granularity), no stitcher")
     parser.add_argument("--push-sec", type=float, default=0.8,
                         help="streaming push granularity in seconds")
+    parser.add_argument("--stream-chunk-frames", type=int, default=8,
+                        help="hop mode: STFT frames advanced per device "
+                             "program — the latency/throughput knob "
+                             "(chunk chaining is exact, so output is "
+                             "identical at any value; 8 = 128 ms added "
+                             "latency; raise to ~64 on high-dispatch-"
+                             "latency backends for realtime throughput)")
     args = parser.parse_args(argv)
 
     config = yaml.safe_load(open(args.config))
@@ -101,7 +108,9 @@ def main(argv=None):
             if args.stream_mode == "hop":
                 from css_tpu.executor.hop_streaming import HopStreamingPipeline
 
-                stream = HopStreamingPipeline(model, variables, config)
+                stream = HopStreamingPipeline(
+                    model, variables, config,
+                    chunk_frames=args.stream_chunk_frames)
                 outs = [stream.push(wav2[0, i : i + push])
                         for i in range(0, wav2.shape[-1], push)]
             else:

@@ -134,6 +134,14 @@ def parse_arguments(argv=None):
                              "anti-correlated with held-out quality). "
                              "1ch STFT-mask models only")
     parser.add_argument("--probe-session-sec", type=float, default=12.0)
+    parser.add_argument("--average-probe-top", type=int, default=0,
+                        help="after training, average the parameters of "
+                             "the N epochs with the highest held-out probe "
+                             "SI-SNRi into avgtop.{job}.mdl and report its "
+                             "probe score — the measured-winning selection "
+                             "recipe (probe-select, then average probe-"
+                             "adjacent checkpoints within one run's basin; "
+                             "BASELINE.md avg23). Requires --probe-sessions")
     parser.add_argument("--probe-seed", type=int, default=456,
                         help="held-out probe corpus seed — disjoint from "
                              "all training seeds AND from the 8-session "
@@ -386,22 +394,31 @@ def main(argv=None):
 
     probe = None
     if args.probe_sessions > 0:
-        if (args.spatialize_channels or input_domain != "stft"):
-            log.warning("--probe-sessions supports 1ch STFT-mask models "
-                        "only; falling back to val-loss selection")
-        else:
-            from css_tpu.trainer.probe import HeldOutProbe
+        from css_tpu.trainer.probe import HeldOutProbe
 
-            voice = getattr(args, "synthetic_voice", "harmonic")
-            probe_corpus = SyntheticCorpus(
-                num_speakers=args.probe_speakers,
-                utts_per_speaker=args.probe_utts,
-                seed=args.probe_seed, f0_max=args.synthetic_f0_max,
-                voice=voice)
-            probe = HeldOutProbe(
-                probe_corpus, sessions=args.probe_sessions,
-                session_sec=args.probe_session_sec, seed=args.probe_seed,
-                num_spk=int(conf.get("num_spk", 2) or 2))
+        # probe mode per model family (round-3 VERDICT: the val-loss
+        # fallback is anti-correlated with held-out quality — never
+        # silently fall back for spatialized/time-domain models)
+        if input_domain != "stft":
+            probe_mode, probe_ipd = "time", None
+        elif args.spatialize_channels:
+            probe_mode, probe_ipd = "spatial", train_ipd
+        else:
+            probe_mode, probe_ipd = "mask", None
+        voice = getattr(args, "synthetic_voice", "harmonic")
+        probe_corpus = SyntheticCorpus(
+            num_speakers=args.probe_speakers,
+            utts_per_speaker=args.probe_utts,
+            seed=args.probe_seed, f0_max=args.synthetic_f0_max,
+            voice=voice)
+        probe = HeldOutProbe(
+            probe_corpus, sessions=args.probe_sessions,
+            session_sec=args.probe_session_sec, seed=args.probe_seed,
+            num_spk=int(conf.get("num_spk", 2) or 2),
+            mode=probe_mode, ipd_index=probe_ipd,
+            noise_level=args.sensor_noise_level)
+    if args.average_probe_top > 0 and probe is None:
+        raise SystemExit("--average-probe-top requires --probe-sessions > 0")
 
     from css_tpu.trainer.loop import training_rng
 
@@ -471,6 +488,7 @@ def main(argv=None):
                                  echo_every=50) if is_lead else None)
     best_val = float("inf")
     best_probe = float("-inf")
+    probe_top = []  # [(probe_si_snri, epoch, path)] highest-N probe epochs
     profiling = False
     if args.profile_dir and is_lead:
         jax.profiler.start_trace(args.profile_dir)
@@ -543,6 +561,22 @@ def main(argv=None):
             if metrics_log is not None:
                 metrics_log({"epoch": e + 1,
                              "probe_si_snri_db": float(probe_val)})
+        if (args.average_probe_top > 0 and is_lead
+                and probe_val is not None and np.isfinite(probe_val)):
+            n_top = args.average_probe_top
+            if len(probe_top) < n_top or probe_val > probe_top[-1][0]:
+                p = expdir / f"ptop.{e + 1}.{args.job}.mdl"
+                checkpoint.save_checkpoint(
+                    p, val_state, epoch=e + 1,
+                    loss=float(val if val is not None else avg_loss),
+                    conf={k: v for k, v in conf.items()
+                          if isinstance(v, (str, int, float, bool,
+                                            type(None)))},
+                    extra={"probe_si_snri_db": float(probe_val)})
+                probe_top.append((float(probe_val), e + 1, p))
+                probe_top.sort(key=lambda t: -t[0])
+                while len(probe_top) > n_top:
+                    probe_top.pop()[2].unlink(missing_ok=True)
         if args.keep_best and is_lead:
             # selection metric: held-out probe SI-SNRi when available
             # (higher is better) — val MSE is anti-correlated with
@@ -590,6 +624,30 @@ def main(argv=None):
                                       keep_last=args.keep_last, job=args.job)
             log.info("Checkpoint %d.%d saved (%.1fs)", e + 1, args.job,
                      _time.perf_counter() - t_save)
+    if args.average_probe_top > 0 and probe_top and is_lead:
+        # the measured-winning selection recipe (BASELINE.md avg23):
+        # probe-select, then average the probe-top checkpoints — all from
+        # one run, hence one basin (round 2 measured cross-basin
+        # averaging HURTING)
+        merged = checkpoint.average_checkpoints(
+            [str(p) for _, _, p in probe_top])
+        out = expdir / f"avgtop.{args.job}.mdl"
+        checkpoint.save_checkpoint_dict(str(out), merged)
+        variables = {"params": jax.tree.map(jax.numpy.asarray,
+                                            merged["params"])}
+        if merged.get("batch_stats"):
+            variables["batch_stats"] = jax.tree.map(
+                jax.numpy.asarray, merged["batch_stats"])
+        avg_probe = probe(model, variables)
+        log.info("avgtop.%d.mdl: averaged %d probe-top epochs %s "
+                 "(probe %s) -> probe SI-SNRi %+.3f dB", args.job,
+                 len(probe_top), [e for _, e, _ in probe_top],
+                 ["%+.2f" % v for v, _, _ in probe_top], avg_probe)
+        if metrics_log is not None:
+            metrics_log({"avgtop_epochs": [e for _, e, _ in probe_top],
+                         "avgtop_probe_si_snri_db": float(avg_probe)})
+        for _, _, p in probe_top:
+            p.unlink(missing_ok=True)
     if metrics_log is not None:
         metrics_log.close()
     log.info("Done.")

@@ -26,6 +26,7 @@ class Utterance:
     path: Optional[str] = None  # wav on disk ...
     array: Optional[np.ndarray] = None  # ... or in-memory audio
     sample_rate: int = 16000
+    text: Optional[str] = None  # transcript (synthetic: pitch tokens)
 
     def load(self) -> np.ndarray:
         if self.array is not None:
@@ -182,6 +183,7 @@ class SyntheticCorpus(Corpus):
                 # so utterances are sequences of short "syllables" with a
                 # hopping pitch and hopping formant-like harmonic weights.
                 sig = np.zeros(n, np.float32)
+                tokens = []  # per-syllable pitch tokens = the transcript
                 pos = 0
                 while pos < n:
                     seg_len = int(rng.uniform(0.15, 0.35) * sample_rate)
@@ -219,8 +221,17 @@ class SyntheticCorpus(Corpus):
                     # syllable envelope (attack/decay)
                     env = np.hanning(seg_len) ** 0.5
                     # occasional silence gap
-                    if rng.uniform() < 0.2:
+                    silent = rng.uniform() < 0.2
+                    if silent:
                         seg *= 0.05
+                    elif seg_len >= int(0.08 * sample_rate):
+                        # transcript token: the syllable's pitch quantized
+                        # to 2-semitone buckets (speaker-independent and
+                        # decodable from audio — cli/toy_asr.py is the
+                        # matched decoder; too-short tail syllables are
+                        # skipped, the decoder can't segment them)
+                        tokens.append(
+                            "W%d" % round(12 * np.log2(f0 / 55.0) / 2))
                     sig[pos : pos + seg_len] = (seg * env).astype(np.float32)
                     pos += seg_len
                 noise = rng.standard_normal(n).astype(np.float32)
@@ -229,7 +240,8 @@ class SyntheticCorpus(Corpus):
                 sig = 0.1 * sig + 0.005 * noise
                 utts.append(Utterance(
                     utt_id=f"spk{s}_utt{u}", speaker=f"spk{s}",
-                    duration=dur, array=sig, sample_rate=sample_rate))
+                    duration=dur, array=sig, sample_rate=sample_rate,
+                    text=" ".join(tokens)))
         super().__init__(utts)
 
 

@@ -33,12 +33,26 @@ from css_tpu.data.corpus import Corpus
 
 
 def default_window_buckets(min_window: float, max_window: float,
-                           step: float = 0.5) -> List[float]:
+                           step: float = 0.5, frame_align: int = 0,
+                           sr: int = 16000, frame_len: int = 512,
+                           frame_hop: int = 256) -> List[float]:
     buckets = []
     w = min_window
     while w <= max_window + 1e-9:
         buckets.append(round(w, 3))
         w += step
+    if frame_align > 0:
+        # snap each bucket to the nearest window whose UNCENTERED frame
+        # count is a multiple of `frame_align` (128 = one TPU lane tile:
+        # attention scores are (B, H, T, T), so a T that is not a
+        # 128-multiple pads up and burns the padding — measured 13%
+        # throughput at T=155 vs T=128, scripts/step_shapes.py)
+        aligned = []
+        for w in buckets:
+            frames = (int(w * sr) - frame_len) // frame_hop + 1
+            f = max(round(frames / frame_align), 1) * frame_align
+            aligned.append(round(((f - 1) * frame_hop + frame_len) / sr, 4))
+        buckets = sorted(set(aligned))
     return buckets
 
 
@@ -52,6 +66,13 @@ class MixtureSynthesizer:
         parser.add_argument("--window-seed", type=int, default=None)
         parser.add_argument("--max-window-size", type=float, default=4.0)
         parser.add_argument("--window-bucket-step", type=float, default=0.5)
+        parser.add_argument("--align-window-frames", type=int, default=0,
+                            help="snap window buckets to multiples of this "
+                                 "many STFT frames (128 = TPU lane tile; "
+                                 "T=155 windows pad attention to 256 lanes "
+                                 "and waste ~13% step throughput — "
+                                 "scripts/step_shapes.py). 0 keeps the raw "
+                                 "buckets (reference-parity shapes)")
         parser.add_argument("--min-snr", type=float, default=5.0)
         parser.add_argument("--max-snr", type=float, default=20.0)
         parser.add_argument("--hard-pair-frac", type=float, default=0.0,
@@ -71,6 +92,7 @@ class MixtureSynthesizer:
             min_window=float(conf.get("min_window_size", 2.0)),
             max_window=float(conf.get("max_window_size", 4.0)),
             bucket_step=float(conf.get("window_bucket_step", 0.5)),
+            frame_align=int(conf.get("align_window_frames", 0)),
             min_snr=float(conf.get("min_snr", 5.0)),
             max_snr=float(conf.get("max_snr", 20.0)),
             rir_pool=conf.get("rir_pool"),
@@ -86,7 +108,7 @@ class MixtureSynthesizer:
 
     def __init__(self, corpus: Corpus, batch_size: int = 32,
                  min_window: float = 2.0, max_window: float = 4.0,
-                 bucket_step: float = 0.5,
+                 bucket_step: float = 0.5, frame_align: int = 0,
                  rir_pool=None, noise_pool=None,
                  min_snr: float = 5.0, max_snr: float = 20.0,
                  reverb_p: float = 0.5, noise_p: float = 0.5,
@@ -106,8 +128,9 @@ class MixtureSynthesizer:
         self.corpus = corpus
         self.sr = corpus.sample_rate
         self.batch_size = batch_size
-        self.window_buckets = default_window_buckets(min_window, max_window,
-                                                     bucket_step)
+        self.window_buckets = default_window_buckets(
+            min_window, max_window, bucket_step, frame_align=frame_align,
+            sr=self.sr)
         # hold each sampled window bucket for `window_group` consecutive
         # batches so Trainer.train_one_epoch(steps_per_dispatch=G) can stack
         # G same-shape batches into one scanned device program; the marginal

@@ -70,7 +70,6 @@ class CssPipeline:
             sr=self.sr,
             wta_floor=float(bf.get("wta_thresh", 1e-4)),
             num_spk=num_spk,
-            skip_weight=float(sti.get("skip_weight", 0.0)),
         )
         # session-level stream-identity re-anchoring (speaker tracking):
         # repairs stitcher identity flips at no-evidence boundaries using

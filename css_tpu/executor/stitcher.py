@@ -26,26 +26,14 @@ from css_tpu.ops.pit import permutations_array
 from css_tpu.ops.stft import overlap_add
 
 
-def _perm_index(table, perm):
-    """Row index of ``perm`` in the static (K!, K) permutation table."""
-    for idx, row in enumerate(table):
-        if np.array_equal(row, perm):
-            return idx
-    raise ValueError(f"{perm} not in permutation table")
-
-
 class Stitcher:
     def __init__(self, eval_win: float = 2.4, eval_hop: float = 0.8,
                  fft_hop: int = 256, sr: int = 16000, wta_floor: float = 1e-4,
-                 num_spk: int = 2, skip_weight: float = 0.0):
+                 num_spk: int = 2):
         self.margin = int(round((eval_win - eval_hop) * sr / fft_hop))
         self.hop_frames = int(eval_hop * sr / fft_hop)
-        # second-order overlap: windows b and b+2 still share
-        # (eval_win - 2*eval_hop) seconds (0.8 s at the default geometry)
-        self.margin2 = int(round((eval_win - 2 * eval_hop) * sr / fft_hop))
         self.wta_floor = wta_floor
         self.num_spk = num_spk
-        self.skip_weight = float(skip_weight)
         self._stitch = jax.jit(self._stitch_impl,
                                static_argnames=("soft",))
 
@@ -83,55 +71,21 @@ class Stitcher:
         window b's local stream perm[b, i]. For K=2 a swap row is [1, 0]
         (the reference's flip).
 
-        With ``skip_weight > 0`` the decisions are the MAP of a chain
-        over boundary permutations: unary costs from the adjacent-window
-        overlap (the reference's evidence) plus pairwise costs scoring
-        the COMPOSED permutation of consecutive boundaries against the
-        skip-window overlap (windows b and b+2 share margin2 frames) —
-        an ensemble of overlap offsets, solved exactly by a Viterbi scan.
-        The reference decides each boundary independently from one
-        offset; a single noisy boundary then flips every later window.
+        (A skip-window Viterbi chain over boundary permutations lived
+        here through round 3; it measured no-op-to-negative on the
+        failing material — those boundaries have a silent speaker in the
+        overlap, so no boundary evidence exists at ANY offset — and was
+        deleted per the settle-on-hardware rule. Session-level
+        re-anchoring, executor/reanchor.py, is the mechanism that
+        actually repairs mis-stitched boundaries.)
         """
         k = self.num_spk
-        b = masks.shape[0]
         e = masks[..., :k] * mags[..., None]  # (B, T, F, K)
         costs = self._margin_costs(e, self.margin, 1)  # (B-1, K!)
         table = jnp.asarray(permutations_array(k))
-        if self.skip_weight <= 0.0 or b < 3 or self.margin2 <= 0:
-            # argmin with ties resolved toward the earliest row — identity
-            # first, matching the reference's >= tie-break (stitcher.py:45)
-            return table[jnp.argmin(costs, axis=-1)]  # (B-1, K)
-
-        # skip evidence, normalized to the unary costs' per-frame scale
-        scale = self.skip_weight * (self.margin / self.margin2)
-        costs2 = scale * self._margin_costs(e, self.margin2, 2)  # (B-2, K!)
-        # composed-permutation index: window b+2 local i -> window b local
-        # comp[a, c] = p_a o p_c  (q[i] = p_a[p_c[i]])
-        ptab = permutations_array(k)  # numpy, static
-        comp = np.stack([[_perm_index(ptab, ptab[a][ptab[c]])
-                          for c in range(len(ptab))]
-                         for a in range(len(ptab))])  # (K!, K!) -> perm id
-        # pairwise potential P[t, a, c] = costs2[t, comp[a, c]]
-        pair = costs2[:, jnp.asarray(comp)]  # (B-2, K!, K!)
-
-        # Viterbi: alpha_t[c] = min_a alpha_{t-1}[a] + P[t-1, a, c] + U_t[c]
-        def fwd(alpha, inp):
-            u_t, p_t = inp
-            trans = alpha[:, None] + p_t  # (a, c)
-            best_a = jnp.argmin(trans, axis=0)
-            return jnp.min(trans, axis=0) + u_t, best_a
-
-        alpha0 = costs[0]
-        alpha, back = jax.lax.scan(fwd, alpha0, (costs[1:], pair))
-        last = jnp.argmin(alpha)
-
-        def bwd(state, back_t):
-            prev = back_t[state]
-            return prev, prev
-
-        _, path = jax.lax.scan(bwd, last, back, reverse=True)
-        states = jnp.concatenate([path, last[None]])  # (B-1,)
-        return table[states]  # (B-1, K)
+        # argmin with ties resolved toward the earliest row — identity
+        # first, matching the reference's >= tie-break (stitcher.py:45)
+        return table[jnp.argmin(costs, axis=-1)]  # (B-1, K)
 
     def get_connect(self, perms, masks, valid=None, soft=False):
         """Permutation composition scan + WTA + overlap-average

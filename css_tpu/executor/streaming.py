@@ -209,8 +209,12 @@ class StreamingCssPipeline:
         k = self.num_spk
         e = routed * mag[..., None]  # (T, F, K) masked magnitude
         en = np.sum(e.astype(np.float64) ** 2, axis=1)  # (T, K) energy
-        t = e.shape[0]
-        self._ra_ref = max(self._ra_ref * (0.995 ** t), float(en.max()))
+        # decay by NEW frames only (hop): overlapping windows revisit each
+        # frame ~win/hop times — decaying by the full window length would
+        # run the reference down ~3x faster per frame than the offline
+        # counterpart, loosening the -20 dB activity gate
+        self._ra_ref = max(self._ra_ref * (0.995 ** self.hop_frames),
+                           float(en.max()))
         thr = 1e-2 * self._ra_ref  # -20 dB of the running reference
         if self._ra_sum is None:
             self._ra_sum = np.zeros((k, e.shape[1]), np.float64)

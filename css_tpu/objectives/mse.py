@@ -25,9 +25,13 @@ class MeanSquaredError:
     the noise mask to capture the non-speech residual.
     """
 
-    def __init__(self, noise_weight: float = 0.0, order_weight: float = 0.0):
+    def __init__(self, noise_weight: float = 0.0, order_weight: float = 0.0,
+                 consistency_weight: float = 0.0,
+                 consistency_frames: int = 25):
         self.noise_weight = noise_weight
         self.order_weight = order_weight
+        self.consistency_weight = consistency_weight
+        self.consistency_frames = int(consistency_frames)
 
     @staticmethod
     def add_args(parser):
@@ -47,10 +51,29 @@ class MeanSquaredError:
                  "near-trivial. PIT alone leaves the per-window slot "
                  "convention arbitrary (css/objectives/pit.py:5)")
 
+        parser.add_argument(
+            "--mse-consistency-weight", type=float, default=0.0,
+            help="cross-window mask-consistency regularizer: each batch "
+                 "window is featurized TWICE as two crops offset by "
+                 "--mse-consistency-frames STFT frames (one extra forward "
+                 "per step), and the masks' disagreement on the shared "
+                 "frames is penalized. The shared frames are IDENTICAL "
+                 "audio — any disagreement is per-window MVN/context edge "
+                 "effect, the measured source of inference-time stitcher "
+                 "errors (cross-window mask inconsistency at the same "
+                 "time region, docs/ROADMAP.md stitcher notes)")
+        parser.add_argument(
+            "--mse-consistency-frames", type=int, default=25,
+            help="crop offset in STFT frames (25 = 0.4 s at hop 256)")
+
     @classmethod
     def build_objective(cls, conf):
         return cls(noise_weight=float(conf.get("mse_noise_weight", 0.0)),
-                   order_weight=float(conf.get("mse_order_weight", 0.0)))
+                   order_weight=float(conf.get("mse_order_weight", 0.0)),
+                   consistency_weight=float(
+                       conf.get("mse_consistency_weight", 0.0)),
+                   consistency_frames=int(
+                       conf.get("mse_consistency_frames", 25)))
 
     @classmethod
     def add_state_dict(cls, s1, s2, fraction, iteration=None):
@@ -74,6 +97,22 @@ class MeanSquaredError:
             (k for k in batch if k.startswith("source") and k[6:].isdigit()),
             key=lambda k: int(k[6:]))
         y_true = jnp.stack([batch[k] for k in src_keys], axis=1)
+        aux_cons = None
+        mag_in = batch.get("input")
+        b = y_true.shape[0]
+        if (self.consistency_weight and masks is not None
+                and masks.shape[0] == 2 * b):
+            # the trainer featurized each window twice as crops offset by
+            # consistency_frames; rows [b:] are the shifted crops. The
+            # shared frames are the SAME audio samples — penalize the
+            # masks' disagreement there, then train PIT on crop 1 only
+            sf = self.consistency_frames
+            m1, m2 = masks[:b], masks[b:]
+            aux_cons = jnp.mean(
+                jnp.square(m1[:, sf:] - m2[:, : m1.shape[1] - sf]))
+            y_pred, masks = y_pred[:b], m1
+            if mag_in is not None:
+                mag_in = mag_in[:b]
         conf = None
         if self.order_weight:
             # canonical target order: slot k = k-th lowest energy-weighted
@@ -100,7 +139,9 @@ class MeanSquaredError:
         loss, perms = batch_pit_loss(y_pred, y_true, loss_fn=mse_pairwise)
         aux = {"perms": perms}
         if self.order_weight:
-            w = self.order_weight * conf  # (B,) per-example blend
+            # clamp: order_weight > 1 would give the PIT term negative
+            # weight (rewarding misordered outputs)
+            w = jnp.clip(self.order_weight * conf, 0.0, 1.0)  # (B,) blend
             canon_loss = jnp.mean(per_ex_canon)
             # canon >= pit per example; the gap is exactly the cost of
             # emitting speakers out of canonical order
@@ -113,14 +154,17 @@ class MeanSquaredError:
                     y_pred, perms[:, :, None, None], axis=1) - y_true),
                 axis=(1, 2, 3))
             loss = jnp.mean((1.0 - w) * per_ex_pit + w * per_ex_canon)
-        if self.noise_weight and masks is not None and "input" in batch:
+        if self.noise_weight and masks is not None and mag_in is not None:
             # multichannel features are [ch0 magnitude, IPD...]; the mask
             # contract applies to the first num_bins (= target width)
-            mag = batch["input"][..., : y_true.shape[-1]]
+            mag = mag_in[..., : y_true.shape[-1]]
             residual = jnp.maximum(
                 mag - sum(batch[k] for k in src_keys), 0.0)
             noise_pred = masks[..., -1] * mag
             noise_loss = jnp.mean(jnp.square(noise_pred - residual))
             aux["noise_loss"] = noise_loss
             loss = loss + self.noise_weight * noise_loss
+        if aux_cons is not None:
+            aux["consistency"] = aux_cons
+            loss = loss + self.consistency_weight * aux_cons
         return loss, aux

@@ -178,14 +178,33 @@ class Trainer:
             for k in src:
                 out[k] = stft_mag(batch[k], fl, fh)
             return out
-        out = {"input": stft_mag(batch["mix"], fl, fh)}
         if getattr(self.objective, "needs_waveforms", False):
             # resynthesis objectives (MaskSNR) differentiate through their
             # own STFT/iSTFT — hand them the raw waveforms instead of mags
-            out["mix_wav"] = batch["mix"]
+            out = {"input": stft_mag(batch["mix"], fl, fh),
+                   "mix_wav": batch["mix"]}
             for k in src:
                 out[k] = batch[k]
             return out
+        cf = (int(getattr(self.objective, "consistency_frames", 0))
+              if getattr(self.objective, "consistency_weight", 0.0) else 0)
+        if cf and batch["mix"].shape[-1] > 2 * cf * fh + fl:
+            # consistency pair: two crops of the same window offset by cf
+            # frames — their shared STFT frames are IDENTICAL samples, so
+            # any mask disagreement is pure per-window MVN/context edge
+            # effect (the measured cross-window inconsistency source).
+            # One stacked forward (2B); targets crop like x1
+            shift = cf * fh
+            wav = batch["mix"]
+            x1 = wav[:, : wav.shape[-1] - shift]
+            x2 = wav[:, shift:]
+            out = {"input": stft_mag(jnp.concatenate([x1, x2], axis=0),
+                                     fl, fh)}
+            for k in src:
+                out[k] = stft_mag(batch[k][:, : wav.shape[-1] - shift],
+                                  fl, fh)
+            return out
+        out = {"input": stft_mag(batch["mix"], fl, fh)}
         for k in src:
             out[k] = stft_mag(batch[k], fl, fh)
         return out

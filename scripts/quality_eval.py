@@ -78,6 +78,10 @@ def main(argv=None):
     parser.add_argument("--reanchor", action="store_true",
                         help="enable session-level stream-identity "
                              "re-anchoring (executor/reanchor.py)")
+    parser.add_argument("--reanchor-ab", action="store_true",
+                        help="evaluate BOTH reanchor off and on in one "
+                             "process (shared jit cache — the off arm's "
+                             "compiles are reused by the on arm)")
     parser.add_argument("--eval-win", type=float, default=2.4,
                         help="separation window seconds (A/B window-length "
                              "vs quality; hop scales by the same factor)")
@@ -132,35 +136,41 @@ def main(argv=None):
 
     ew = float(args.eval_win)
     eh = round(ew / 3.0, 4)  # keep the reference's 3x window/hop overlap
-    config = {
-        "sampling_rate": 16000,
-        "separation": {"batch_size": 32, "eval_win": ew, "eval_hop": eh,
-                       "frame_length": 512, "frame_shift": 256},
-        "stitching": {"eval_win": ew, "eval_hop": eh, "hop_size": 256,
-                      "reanchor": bool(args.reanchor)},
-        "beamforming": {"type": args.beamformer, "hop_size": 256,
-                        "n_fft": 512, "eval_hop": eh, "eval_win": ew,
-                        "proceed_margin": 2, "wta_thresh": 1e-4},
-    }
-    cfg_path = work / "config.yaml"
     import yaml
 
-    cfg_path.write_text(yaml.safe_dump(config))
+    arms = ([False, True] if args.reanchor_ab else [bool(args.reanchor)])
+    for ra in arms:
+        config = {
+            "sampling_rate": 16000,
+            "separation": {"batch_size": 32, "eval_win": ew, "eval_hop": eh,
+                           "frame_length": 512, "frame_shift": 256},
+            "stitching": {"eval_win": ew, "eval_hop": eh, "hop_size": 256,
+                          "reanchor": ra},
+            "beamforming": {"type": args.beamformer, "hop_size": 256,
+                            "n_fft": 512, "eval_hop": eh, "eval_win": ew,
+                            "proceed_margin": 2, "wta_thresh": 1e-4},
+        }
+        tag = f"_ra{int(ra)}" if args.reanchor_ab else ""
+        cfg_path = work / f"config{tag}.yaml"
+        cfg_path.write_text(yaml.safe_dump(config))
+        arm_out = work / f"out{tag}" if tag else out_dir
+        arm_out.mkdir(parents=True, exist_ok=True)
+        separate_cli.main([
+            "--config", str(cfg_path), "--checkpoint", args.checkpoint,
+            "--model", args.model, "--corpus-dir", str(mix_dir),
+            "--out-dir", str(arm_out)])
+        results_path = work / f"results{tag}.jsonl"
+        evaluate_cli.main([
+            "--estimates", str(arm_out), "--references", str(ref_dir),
+            "--mixtures", str(mix_dir), "--output", str(results_path)])
 
-    separate_cli.main([
-        "--config", str(cfg_path), "--checkpoint", args.checkpoint,
-        "--model", args.model, "--corpus-dir", str(mix_dir),
-        "--out-dir", str(out_dir)])
-    results_path = work / "results.jsonl"
-    evaluate_cli.main([
-        "--estimates", str(out_dir), "--references", str(ref_dir),
-        "--mixtures", str(mix_dir), "--output", str(results_path)])
-
-    lines = [json.loads(l) for l in open(results_path)]
-    summary = lines[-1]
-    if oracle:
-        summary["irm_oracle_si_snri_db"] = float(np.mean(oracle))
-    print(json.dumps(summary))
+        lines = [json.loads(l) for l in open(results_path)]
+        summary = lines[-1]
+        if oracle:
+            summary["irm_oracle_si_snri_db"] = float(np.mean(oracle))
+        if args.reanchor_ab:
+            summary["reanchor"] = ra
+        print(json.dumps(summary))
 
 
 if __name__ == "__main__":

@@ -79,6 +79,18 @@ def main(argv=None):
                              "residual} distortion SCM (VERDICT r2 #2 — "
                              "why do estimated masks invert the oracle "
                              "MVDR-vs-masking ordering?)")
+    parser.add_argument("--stratify-azimuth", action="store_true",
+                        help="spread the sessions' speaker azimuth "
+                             "separations evenly over [10, 180] degrees "
+                             "(close-azimuth pairs are the spatial "
+                             "analogue of close-f0 — the hardest regime "
+                             "for the SCM contrast) instead of random "
+                             "grid draws; reports mean AND worst")
+    parser.add_argument("--reanchor", action="store_true",
+                        help="apply session-level stream-identity "
+                             "re-anchoring (executor/reanchor.py) to the "
+                             "output streams of BOTH paths — measures the "
+                             "routing repair on the spatial protocol")
     args = parser.parse_args(argv)
 
     import jax.numpy as jnp
@@ -125,9 +137,16 @@ def main(argv=None):
     if args.ablate:
         for k in ("mvdr_7ch_resid", "mvdr_7ch_soft", "mvdr_7ch_soft_resid"):
             res[k] = []
+    seps = None
+    if args.stratify_azimuth:
+        seps = np.linspace(10.0, 180.0, args.sessions)
     for i in range(args.sessions):
         _, srcs = make_session(corpus, rng, args.session_sec)
-        az = rng.choice(np.arange(0, 360, 12), 2, replace=False)
+        if seps is not None:
+            base = rng.uniform(0.0, 360.0)
+            az = np.array([base, (base + seps[i]) % 360.0])
+        else:
+            az = rng.choice(np.arange(0, 360, 12), 2, replace=False)
         wav7 = spatial_session(srcs, az, noise_level=args.noise_level,
                                seed=args.seed + i)
         mix0 = wav7[0]
@@ -160,12 +179,18 @@ def main(argv=None):
             wav7_p[0], stitched)]
         out7 = [o[:total] for o in bf_7ch.continuous_process(
             wav7_p, stitched)]
-        imp1 = si_snr_improvement_db(out1, list(srcs), mix0)
-        imp7 = si_snr_improvement_db(out7, list(srcs), mix0)
+        if args.reanchor:
+            from css_tpu.executor.reanchor import reanchor_streams
+
+            out1, _ = reanchor_streams(out1)
+            out7, _ = reanchor_streams(out7)
+        imp1 = si_snr_improvement_db(list(out1), list(srcs), mix0)
+        imp7 = si_snr_improvement_db(list(out7), list(srcs), mix0)
         res["masking_1ch"].append(float(imp1))
         res["mvdr_7ch"].append(float(imp7))
-        print(f"session {i} (az {az[0]}/{az[1]}): masking {imp1:+.2f} dB, "
-              f"MVDR {imp7:+.2f} dB", flush=True)
+        dsep = float(min(abs(az[0] - az[1]), 360 - abs(az[0] - az[1])))
+        print(f"session {i} (az {az[0]:.0f}/{az[1]:.0f}, sep {dsep:.0f}): "
+              f"masking {imp1:+.2f} dB, MVDR {imp7:+.2f} dB", flush=True)
         if args.ablate and stitched_soft is not None:
             for key, bf_v, sti_v in (
                     ("mvdr_7ch_resid", bf_7ch_resid, stitched),
@@ -179,7 +204,11 @@ def main(argv=None):
 
     out = {f"{k}_mean_db": round(float(np.mean(v)), 2)
            for k, v in res.items() if v}
+    out |= {f"{k}_worst_db": round(float(np.min(v)), 2)
+            for k, v in res.items() if v}
     out |= {"sessions": args.sessions, "voice": args.voice,
+            "stratified": bool(args.stratify_azimuth),
+            "reanchor": bool(args.reanchor),
             "masks": ("trained:" + args.checkpoint) if args.checkpoint
                      else "oracle"}
     print(json.dumps(out))

@@ -1,0 +1,97 @@
+"""Train-step shape/dtype sensitivity: where does the 19%-MFU step lose?
+
+The round-4 ablation (exp/ablate_r4.log) shows per-block time perfectly
+linear (16 blocks ~1.36 ms each) — the whole encoder runs at ~19% MFU
+uniformly rather than one op being pathological. Hypotheses this probe
+separates, all judged by audio-sec/s/chip (the north star), honest
+device_get flush:
+
+  * lane padding: T=156 frames pads to 256 lanes inside attention
+    (scores are (B, H, T, T)); a window whose frame count is a
+    128-multiple (2.064 s -> T=128) wastes nothing;
+  * small-matmul overhead: batch 64/128 amortizes per-op fixed cost;
+  * MXU vs overhead bound: if fp32 time ~= bf16 time the step is NOT
+    MXU-bound and bigger tiles won't help;
+  * dropout PRNG: rbg vs threefry cost at today's runtime.
+
+  python scripts/step_shapes.py [--iters 20]
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--repeats", type=int, default=2)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from css_tpu.models.conformer import Conformer
+    from css_tpu.objectives.mse import MeanSquaredError
+    from css_tpu.trainer import LRSchedule, Trainer
+    from css_tpu.trainer.loop import training_rng
+    from css_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    sr = 16000
+    host = np.random.default_rng(0)
+    dev = jax.devices()[0]
+
+    def run(batch_size, win_sec, dtype="bf16", prng="rbg"):
+        win = int(win_sec * sr)
+        batch = jax.device_put(
+            {k: (host.standard_normal((batch_size, win)) * s).astype(
+                np.float32)
+             for k, s in (("mix", 0.1), ("source1", 0.05),
+                          ("source2", 0.05))}, dev)
+        model = Conformer(compute_dtype=jnp.bfloat16 if dtype == "bf16"
+                          else jnp.float32)
+        trainer = Trainer(model, MeanSquaredError(noise_weight=0.3),
+                          LRSchedule(lr=1e-4, warmup=1000), optim="adam",
+                          weight_decay=1e-2, grad_thresh=5.0)
+        rng = training_rng(0, prng)
+        state = trainer.init_state(rng, batch)
+        state, m = trainer._train_step(state, dict(batch), rng)
+        jax.device_get(m["loss"])
+        best = float("inf")
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                state, m = trainer._train_step(state, dict(batch), rng)
+            jax.device_get(m["loss"])
+            best = min(best, (time.perf_counter() - t0) / args.iters)
+        n_frames = (win - 512) // 256 + 1
+        out = {
+            "batch": batch_size, "win_sec": win_sec, "frames": n_frames,
+            "dtype": dtype, "prng": prng,
+            "ms_per_step": round(best * 1e3, 2),
+            "audio_sec_per_s": round(batch_size * win_sec / best, 1),
+        }
+        print(json.dumps(out), flush=True)
+        return out
+
+    run(32, 2.5)                      # baseline (BENCH workload)
+    run(32, 2.064)                    # T=128: no lane padding anywhere
+    run(64, 2.5)                      # amortize small-op overhead
+    run(64, 2.064)
+    run(128, 2.064)
+    run(32, 2.5, dtype="f32")         # MXU-bound test: f32 ~2x => MXU
+    run(32, 2.5, prng="threefry2x32")  # dropout PRNG cost today
+
+
+if __name__ == "__main__":
+    main()

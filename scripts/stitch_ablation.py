@@ -91,10 +91,6 @@ def main(argv=None):
     sep = Separator(model, variables, eval_win=2.4, eval_hop=0.8,
                     frame_len=512, frame_hop=256, batch_size=32)
     stitcher = Stitcher(eval_win=2.4, eval_hop=0.8, fft_hop=256)
-    # skip-window Viterbi ensemble (stitcher.py get_stitch docstring):
-    # measures how much of the oracle-routing gap the chain MAP recovers
-    stitcher_skip = Stitcher(eval_win=2.4, eval_hop=0.8, fft_hop=256,
-                             skip_weight=1.0)
     bf = Beamformer(bf_type="masking", eval_win=2.4, eval_hop=0.8,
                     n_fft=512, hop_length=256, proceed_margin=2.0)
 
@@ -102,8 +98,7 @@ def main(argv=None):
                              utts_per_speaker=4, seed=args.seed,
                              f0_max=args.f0_max, voice=args.voice)
     rng = np.random.default_rng(args.seed)
-    res = {"pipeline": [], "pipeline_skip": [], "oracle_stitch": [],
-           "irm_oracle": []}
+    res = {"pipeline": [], "oracle_stitch": [], "irm_oracle": []}
     for _ in range(args.sessions):
         mix, srcs = make_session(corpus, rng, args.session_sec)
         total = mix.shape[-1]
@@ -126,12 +121,6 @@ def main(argv=None):
         outs = [o[:total] for o in bf.continuous_process(mix_p, stitched)]
         res["pipeline"].append(
             si_snr_improvement_db(list(outs), list(srcs), mix))
-
-        # skip-window Viterbi ensemble
-        stitched_s = [np.asarray(m) for m in stitcher_skip(masks, mags)]
-        outs_s = [o[:total] for o in bf.continuous_process(mix_p, stitched_s)]
-        res["pipeline_skip"].append(
-            si_snr_improvement_db(list(outs_s), list(srcs), mix))
 
         # oracle routing, identity boundary composition
         routed = oracle_window_routing(masks, mags, ref_mags)

@@ -11,6 +11,48 @@ from css_tpu.data.corpus import write_wav
 
 
 @pytest.mark.slow
+def test_average_probe_top(tmp_path):
+    """--average-probe-top averages the probe-top epochs into
+    avgtop.{job}.mdl (the shipped avg23 selection recipe: probe-select +
+    within-basin averaging, round-3 VERDICT next #3)."""
+    from css_tpu.cli import train
+
+    expdir = tmp_path / "exp"
+    train.main([
+        "--expdir", str(expdir), "--model", "BLSTM", "--objective", "MSE",
+        "--synthetic-data", "--batch-size", "4", "--batches-per-epoch", "2",
+        "--num-epochs", "3", "--optim", "adam", "--lr", "1e-3",
+        "--warmup", "2", "--blstm-hdim", "16", "--blstm-num-layers", "1",
+        "--min-window-size", "2", "--max-window-size", "2",
+        "--validate-batches", "1", "--keep-last", "3",
+        "--probe-sessions", "1", "--probe-session-sec", "4",
+        "--average-probe-top", "2", "--job", "1", "--seed", "0",
+    ])
+    avgtop = expdir / "avgtop.1.mdl"
+    assert avgtop.exists()
+    # intermediate probe-top checkpoints are cleaned up
+    assert not list(expdir.glob("ptop.*.mdl"))
+    # the averaged params equal the mean of the two top-probe epochs
+    records = [json.loads(l)
+               for l in (expdir / "train.1.jsonl").read_text().splitlines()]
+    probes = {r["epoch"]: r["probe_si_snri_db"] for r in records
+              if "probe_si_snri_db" in r}
+    avg_rec = [r for r in records if "avgtop_epochs" in r]
+    assert len(avg_rec) == 1 and "avgtop_probe_si_snri_db" in avg_rec[0]
+    top2 = sorted(probes, key=lambda e: -probes[e])[:2]
+    assert sorted(avg_rec[0]["avgtop_epochs"]) == sorted(top2)
+    cks = [load_checkpoint(expdir / f"{e}.1.mdl") for e in top2]
+    got = load_checkpoint(avgtop)
+    import jax
+
+    want = jax.tree.map(lambda a, b: (a.astype(np.float64)
+                                      + b.astype(np.float64)) / 2,
+                        cks[0]["params"], cks[1]["params"])
+    for w, g in zip(jax.tree.leaves(want), jax.tree.leaves(got["params"])):
+        np.testing.assert_allclose(w, g, rtol=1e-6, atol=1e-7)
+
+
+@pytest.mark.slow
 def test_train_cli_and_separate_cli(tmp_path):
     from css_tpu.cli import combine, separate, train
 

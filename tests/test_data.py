@@ -157,3 +157,19 @@ def test_voice_models_rng_isolation():
                         min_dur=1.0, max_dur=1.5, voice="harmonic")
     for ua, ub in zip(a.utterances, b.utterances):
         assert np.array_equal(ua.array, ub.array)
+
+
+def test_window_bucket_frame_alignment():
+    """--align-window-frames snaps buckets to lane-tile frame counts
+    (T=155 pads attention to 256 lanes; measured 13% step throughput,
+    scripts/step_shapes.py)."""
+    from css_tpu.data.mixer import default_window_buckets
+
+    raw = default_window_buckets(2.0, 4.0, 0.5)
+    assert raw == [2.0, 2.5, 3.0, 3.5, 4.0]
+    aligned = default_window_buckets(2.0, 4.0, 0.5, frame_align=128)
+    for w in aligned:
+        frames = (int(w * 16000) - 512) // 256 + 1
+        assert frames % 128 == 0, (w, frames)
+    # alignment dedupes collapsed buckets but keeps the range covered
+    assert aligned[0] <= 2.1 and aligned[-1] >= 4.0

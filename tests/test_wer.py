@@ -93,3 +93,55 @@ def test_wer_prefix_keys_do_not_cross_match(tmp_path):
                         "--asr-cmd", fake_asr])
     # rec: 4 errors (vs 'alpha beta gamma' hypothesis); rec_b: 0
     assert summary["errors"] == 4 and summary["ref_words"] == 8
+
+
+def test_toy_asr_decodes_clean_transcripts():
+    """The in-repo pitch-token decoder (cli/toy_asr.py) recovers the
+    synthetic transcripts from clean audio with a low error floor —
+    making WER a real, executable end metric (round-3 VERDICT missing
+    #4; the reference used an external ASR, SURVEY.md §5)."""
+    from css_tpu.cli.toy_asr import decode_tokens
+    from css_tpu.cli.wer import edit_distance
+    from css_tpu.data import SyntheticCorpus
+
+    corpus = SyntheticCorpus(num_speakers=4, utts_per_speaker=2, seed=77,
+                             voice="formant", f0_max=400)
+    errs = words = 0
+    for u in corpus.utterances:
+        assert u.text  # synthesis records a transcript
+        ref = u.text.split()
+        errs += edit_distance(ref, decode_tokens(u.load()))
+        words += len(ref)
+    assert words > 50
+    assert errs / words < 0.2, f"clean toy-ASR WER {errs / words:.2f}"
+
+
+def test_wer_cli_with_toy_asr(tmp_path):
+    """cli.wer drives the real toy-ASR subprocess over clean session
+    sources and scores near the decoder floor."""
+    import numpy as np
+
+    from css_tpu.cli import wer
+    from css_tpu.data import SyntheticCorpus
+    from css_tpu.data.corpus import write_wav
+    from css_tpu.data.sessions import make_session
+
+    corpus = SyntheticCorpus(num_speakers=4, utts_per_speaker=2, seed=77,
+                             voice="formant", f0_max=400)
+    rng = np.random.default_rng(0)
+    mix, srcs, spoken = make_session(corpus, rng, 8.0, with_info=True)
+    est = tmp_path / "est"
+    est.mkdir()
+    for k in range(srcs.shape[0]):
+        write_wav(est / f"sess0_{k}.wav", srcs[k])
+    refs = tmp_path / "refs.jsonl"
+    # per-SPEAKER references (turn k goes to slot k % K) — what a clean
+    # stream decodes end to end
+    texts = [" ".join(u.text for u in spoken[k::2] if u.text)
+             for k in range(2)]
+    refs.write_text(json.dumps({"key": "sess0", "texts": texts}) + "\n")
+    summary = wer.main([
+        "--estimates", str(est), "--references", str(refs),
+        "--asr-cmd", f"{sys.executable} -m css_tpu.cli.toy_asr {{wav}}"])
+    assert summary["ref_words"] > 10
+    assert summary["wer"] < 0.35  # clean floor (+truncated session tail)
