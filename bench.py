@@ -12,8 +12,11 @@ css/executor/separator.py:63-111.
 
 Extras: training-step throughput of the SHIPPED ``Trainer.train_one_epoch``
 loop (async dispatch, device-staged batches, steps_per_dispatch=4 — the
-`cli.train` default) — Conformer-large, batch 32 x 2.5 s windows, PIT-MSE +
-noise supervision, adam; the path `cli.train` actually runs.
+`cli.train` default) — Conformer-large, batch 32 x 2.064 s windows
+(T=128 frames: the lane-aligned bucket the quality recipes pin via
+``--align-window-frames 128``; T=155 pads attention lanes to 256 and
+costs ~13% — BASELINE.md round 4), PIT-MSE + noise supervision, adam;
+the path `cli.train` actually runs.
 
 Baseline: the same inference forward on the reference PyTorch
 implementation (css/models/conformer.py defaults), CPU fp32 @ 4 threads,
@@ -203,7 +206,7 @@ def bench_train():
     from css_tpu.trainer.loop import training_rng
 
     sr = 16000
-    win = int(2.5 * sr)
+    win = 512 + 127 * 256  # 2.064 s = T=128 frames (lane-aligned bucket)
     batch = 32
     model = Conformer(compute_dtype=jnp.bfloat16)
     trainer = Trainer(model, MeanSquaredError(noise_weight=0.3),
@@ -266,8 +269,11 @@ def bench_train_device_mix():
     batch, spd = 32, 16
     corpus = SyntheticCorpus(num_speakers=96, utts_per_speaker=12,
                              f0_max=400, seed=0)
+    # frame_align=128 snaps the 2.5 s request to the T=128 lane-aligned
+    # bucket (2.064 s) — the --align-window-frames 128 recipe setting
     mixer = MixtureSynthesizer(corpus, batch_size=batch, min_window=2.5,
-                               max_window=2.5, seed=1, window_group=spd)
+                               max_window=2.5, seed=1, window_group=spd,
+                               frame_align=128)
     dm = DeviceMixer(mixer)
     pools = dm.device_pools()
     trainer = Trainer(Conformer(compute_dtype=jnp.bfloat16),
@@ -289,7 +295,8 @@ def bench_train_device_mix():
                                            pools=pools)
         dt = min(dt, time.perf_counter() - t0)
     n_chips = max(jax.local_device_count(), 1)
-    value = iters * batch * 2.5 / dt / n_chips
+    win_sec = (127 * 256 + 512) / sr  # the aligned bucket actually mixed
+    value = iters * batch * win_sec / dt / n_chips
     return {
         "metric": "train_device_mix_throughput",
         "value": round(value, 2),

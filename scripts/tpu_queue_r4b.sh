@@ -30,6 +30,24 @@ marker() { mkdir -p exp/.queue && touch "exp/.queue/$1.done"; }
 done_already() { [ -f "exp/.queue/$1.done" ]; }
 step() { [ "$start" -le "$1" ] && ! done_already "$2"; }
 
+resume_or_init() { # resume_or_init <expdir> [init.mdl]: echo train flags.
+  # Auto-resume from the newest epoch checkpoint if the step was killed
+  # mid-run (tunnel-wedge watchdog restarts); otherwise warm-start from
+  # the optional --init checkpoint. --init must be dropped on resume:
+  # cli.train applies --init AFTER --resume and would clobber the
+  # resumed params (train.py:472-479 ordering).
+  local dir=$1 init=${2:-}
+  local latest
+  latest=$(ls "$dir"/[0-9]*.1.mdl 2>/dev/null \
+           | sed 's/.*\/\([0-9]*\)\.1\.mdl/\1 &/' | sort -n \
+           | tail -1 | cut -d' ' -f2)
+  if [ -n "$latest" ]; then
+    echo "--resume $(basename "$latest")"
+  elif [ -n "$init" ]; then
+    echo "--init $init"
+  fi
+}
+
 evalboth() { # evalboth <log> <model> <ck...>: matched + ladder, reanchor
   local log=$1 model=$2; shift 2
   {
@@ -77,8 +95,8 @@ if step 3 h1; then
     --model Conformer --objective MSE \
     --num-epochs 60 --batches-per-epoch 512 \
     --lr 1e-4 --warmup 15000 --decay 2e-5 --mse-noise-weight 0.3 \
-    --keep-every 10 --keep-last 3 \
-    2>&1 | tee exp/h1.log && marker h1
+    --keep-every 10 --keep-last 3 $(resume_or_init exp/h1) \
+    2>&1 | tee -a exp/h1.log && marker h1
 fi
 
 if step 4 h1ft; then
@@ -88,8 +106,8 @@ if step 4 h1ft; then
     --num-epochs 40 --batches-per-epoch 512 \
     --lr 2e-5 --warmup 100 --decay 1e-4 --masksnr-mag-weight 0.05 \
     --average-probe-top 2 --keep-every 5 --keep-last 3 \
-    --init "$init" --seed 11 \
-    2>&1 | tee exp/h1ft.log && marker h1ft
+    $(resume_or_init exp/h1ft "$init") --seed 11 \
+    2>&1 | tee -a exp/h1ft.log && marker h1ft
 fi
 
 if step 5 h1ftev; then
@@ -104,13 +122,14 @@ if step 6 g2; then
       --num-epochs 20 --batches-per-epoch 512 \
       --lr 5e-5 --warmup 100 --decay 1e-4 --mse-noise-weight 0.3 \
       --mse-consistency-weight 0.5 --average-probe-top 2 \
-      --keep-every 5 --keep-last 3 --init exp/h1/best.1.mdl --seed 13
+      --keep-every 5 --keep-last 3 \
+      $(resume_or_init exp/g2 exp/h1/best.1.mdl) --seed 13
     python -m css_tpu.cli.train --expdir exp/g2ft "${common[@]}" \
       --model Conformer --objective MaskSNR \
       --num-epochs 15 --batches-per-epoch 512 \
       --lr 2e-5 --warmup 100 --decay 1e-4 --masksnr-mag-weight 0.05 \
       --average-probe-top 2 --keep-every 3 --keep-last 3 \
-      --init exp/g2/best.1.mdl --seed 17
+      $(resume_or_init exp/g2ft exp/g2/best.1.mdl) --seed 17
   } 2>&1 | tee exp/g2.log
   evalboth g2ev.log Conformer exp/g2ft/best.1.mdl exp/g2ft/avgtop.1.mdl \
     && marker g2
@@ -156,8 +175,8 @@ if step 9 s7; then
     --model Conformer --objective MSE --spatialize-channels 7 \
     --num-epochs 30 --batches-per-epoch 512 \
     --lr 1e-4 --warmup 10000 --decay 2e-5 --mse-noise-weight 0.3 \
-    --keep-every 10 --keep-last 3 \
-    2>&1 | tee exp/s7.log
+    --keep-every 10 --keep-last 3 $(resume_or_init exp/s7) \
+    2>&1 | tee -a exp/s7.log
   {
     echo "== s7 trained masks, stratified azimuth, 8 sessions"
     python scripts/spatial_quality_eval.py --checkpoint exp/s7/best.1.mdl \
@@ -175,8 +194,8 @@ if step 10 c2; then
     --model BLSTM --blstm-causal --objective MSE \
     --num-epochs 20 --batches-per-epoch 512 \
     --lr 1e-4 --warmup 8000 --decay 2e-5 --mse-noise-weight 0.3 \
-    --keep-every 10 --keep-last 2 \
-    2>&1 | tee exp/c2.log
+    --keep-every 10 --keep-last 2 $(resume_or_init exp/c2) \
+    2>&1 | tee -a exp/c2.log
   {
     echo "== warm hop-streaming throughput (causal BLSTM)"
     python scripts/hop_bench.py --checkpoint exp/c2/best.1.mdl \
@@ -193,8 +212,8 @@ if step 11 c1; then
     --model Conformer --conformer-causal --objective MSE \
     --num-epochs 20 --batches-per-epoch 512 \
     --lr 1e-4 --warmup 8000 --decay 2e-5 --mse-noise-weight 0.3 \
-    --keep-every 10 --keep-last 2 \
-    2>&1 | tee exp/c1.log
+    --keep-every 10 --keep-last 2 $(resume_or_init exp/c1) \
+    2>&1 | tee -a exp/c1.log
   {
     echo "== causal Conformer: offline vs window vs hop"
     python scripts/causal_quality_curve.py --checkpoint exp/c1/best.1.mdl \
