@@ -74,7 +74,45 @@ def _probe_backend(timeout: float = 420.0):
 
 
 def main():
-    note = _probe_backend()
+    """Wrapper: run the measurement body in a timed SUBPROCESS.
+
+    Round 4 observed the tunneled backend wedging clients at random —
+    a process blocks forever inside one jax RPC (zero CPU accrual)
+    while fresh clients work fine. No in-process guard can recover a
+    stuck XLA call, so the whole measurement runs in a child with a
+    hard timeout and retries; the parent always prints the JSON line.
+    """
+    import os
+    import subprocess
+    import sys
+
+    budget = float(os.environ.get("CSS_TPU_BENCH_TIMEOUT", "1500"))
+    for attempt in range(3):
+        try:
+            r = subprocess.run(
+                [sys.executable, __file__, "--measure"],
+                timeout=budget, capture_output=True)
+        except subprocess.TimeoutExpired:
+            print(f"# bench: attempt {attempt + 1} wedged "
+                  f"(no result in {budget:.0f}s); retrying", flush=True)
+            continue
+        line = next((ln for ln in
+                     r.stdout.decode(errors="replace").splitlines()
+                     if ln.startswith("{")), None)
+        if r.returncode == 0 and line:
+            print(line)
+            return
+        err = (r.stderr or b"").decode(errors="replace").strip()[-300:]
+        print(f"# bench: attempt {attempt + 1} failed rc={r.returncode} "
+              f"{err}", flush=True)
+    # all attempts wedged/failed: CPU liveness fallback in-process
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    measure(forced_note="cpu-fallback: measurement subprocess wedged "
+            "or failed 3x (tunnel)")
+
+
+def measure(forced_note=None):
+    note = forced_note if forced_note is not None else _probe_backend()
     import jax
 
     if note is not None:
@@ -306,4 +344,9 @@ def bench_train_device_mix():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--measure" in sys.argv:
+        measure()
+    else:
+        main()
