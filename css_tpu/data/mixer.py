@@ -72,7 +72,14 @@ class MixtureSynthesizer:
                                  "T=155 windows pad attention to 256 lanes "
                                  "and waste ~13% step throughput — "
                                  "scripts/step_shapes.py). 0 keeps the raw "
-                                 "buckets (reference-parity shapes)")
+                                 "buckets (reference-parity shapes). "
+                                 "CAUTION: in [2,4]s this collapses the 5 "
+                                 "default buckets to {2.064, 4.112}s and "
+                                 "the distribution shift cost ~3 dB "
+                                 "held-out SI-SNRi at flagship scale "
+                                 "(BASELINE.md round 4) — use for "
+                                 "throughput experiments, not quality "
+                                 "recipes")
         parser.add_argument("--min-snr", type=float, default=5.0)
         parser.add_argument("--max-snr", type=float, default=20.0)
         parser.add_argument("--hard-pair-frac", type=float, default=0.0,
