@@ -643,8 +643,23 @@ def main(argv=None):
                  "(probe %s) -> probe SI-SNRi %+.3f dB", args.job,
                  len(probe_top), [e for _, e, _ in probe_top],
                  ["%+.2f" % v for v, _, _ in probe_top], avg_probe)
+        best_val, best_epoch, best_path = probe_top[0]
+        if avg_probe < best_val:
+            # cross-basin guard: top-N epochs far apart in training can
+            # sit in different basins, where averaging HURTS (round 2;
+            # g2 round 4: epochs [6,19] probe +6.04/+6.02 -> avg +4.60).
+            # The probe arbitrates: ship the best single epoch instead
+            best_ckpt = checkpoint.load_checkpoint(str(best_path))
+            checkpoint.save_checkpoint_dict(str(out), best_ckpt)
+            log.info("avgtop.%d.mdl: average (%+.3f) probes WORSE than "
+                     "best single epoch %d (%+.3f) — cross-basin guard "
+                     "ships the single epoch", args.job, avg_probe,
+                     best_epoch, best_val)
+            avg_probe, avg_epochs = best_val, [best_epoch]
+        else:
+            avg_epochs = [e for _, e, _ in probe_top]
         if metrics_log is not None:
-            metrics_log({"avgtop_epochs": [e for _, e, _ in probe_top],
+            metrics_log({"avgtop_epochs": avg_epochs,
                          "avgtop_probe_si_snri_db": float(avg_probe)})
         for _, _, p in probe_top:
             p.unlink(missing_ok=True)

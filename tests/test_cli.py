@@ -40,16 +40,26 @@ def test_average_probe_top(tmp_path):
     avg_rec = [r for r in records if "avgtop_epochs" in r]
     assert len(avg_rec) == 1 and "avgtop_probe_si_snri_db" in avg_rec[0]
     top2 = sorted(probes, key=lambda e: -probes[e])[:2]
-    assert sorted(avg_rec[0]["avgtop_epochs"]) == sorted(top2)
-    cks = [load_checkpoint(expdir / f"{e}.1.mdl") for e in top2]
     got = load_checkpoint(avgtop)
     import jax
 
-    want = jax.tree.map(lambda a, b: (a.astype(np.float64)
-                                      + b.astype(np.float64)) / 2,
-                        cks[0]["params"], cks[1]["params"])
+    shipped = sorted(avg_rec[0]["avgtop_epochs"])
+    if len(shipped) == 1:
+        # cross-basin guard fired: the average probed worse than the
+        # best single epoch, so avgtop IS that epoch's checkpoint
+        assert shipped == [top2[0]]
+        want = load_checkpoint(expdir / f"{top2[0]}.1.mdl")["params"]
+        rtol = 1e-6
+    else:
+        # the averaged params equal the mean of the two top-probe epochs
+        assert shipped == sorted(top2)
+        cks = [load_checkpoint(expdir / f"{e}.1.mdl") for e in top2]
+        want = jax.tree.map(lambda a, b: (a.astype(np.float64)
+                                          + b.astype(np.float64)) / 2,
+                            cks[0]["params"], cks[1]["params"])
+        rtol = 1e-6
     for w, g in zip(jax.tree.leaves(want), jax.tree.leaves(got["params"])):
-        np.testing.assert_allclose(w, g, rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(w, g, rtol=rtol, atol=1e-7)
 
 
 @pytest.mark.slow
