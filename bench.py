@@ -11,12 +11,14 @@ feature extraction + Conformer-large mask estimation, bf16 compute) on
 css/executor/separator.py:63-111.
 
 Extras: training-step throughput of the SHIPPED ``Trainer.train_one_epoch``
-loop (async dispatch, device-staged batches, steps_per_dispatch=4 — the
-`cli.train` default) — Conformer-large, batch 32 x 2.064 s windows
-(T=128 frames: the lane-aligned bucket the quality recipes pin via
-``--align-window-frames 128``; T=155 pads attention lanes to 256 and
-costs ~13% — BASELINE.md round 4), PIT-MSE + noise supervision, adam;
-the path `cli.train` actually runs.
+loop (async dispatch, device-staged batches — the `cli.train` path),
+Conformer-large, PIT-MSE + noise supervision, adam, reported for BOTH
+configs: (a) speed mode — batch 64 x 2.064 s lane-aligned windows
+(T=128, `--align-window-frames 128`; throughput recipes only), and
+(b) quality mode — batch 32 x unaligned 2.5 s windows (T=155), the
+config the quality recipes actually train with (alignment measured to
+cost ~3 dB of separation quality via window-bucket collapse —
+BASELINE.md round 4 continuation).
 
 Baseline: the same inference forward on the reference PyTorch
 implementation (css/models/conformer.py defaults), CPU fp32 @ 4 threads,
@@ -89,9 +91,14 @@ def main():
     budget = float(os.environ.get("CSS_TPU_BENCH_TIMEOUT", "1500"))
     for attempt in range(3):
         try:
+            # CSS_TPU_BENCH_SKIP_PROBE: the child skips the (up to ~25 min
+            # worst-case) attach probe — the parent's timeout+retry already
+            # supervises a wedged attach, and probing inside the child
+            # could exhaust the whole budget before measuring (ADVICE r4)
             r = subprocess.run(
                 [sys.executable, __file__, "--measure"],
-                timeout=budget, capture_output=True)
+                timeout=budget, capture_output=True,
+                env={**os.environ, "CSS_TPU_BENCH_SKIP_PROBE": "1"})
         except subprocess.TimeoutExpired:
             print(f"# bench: attempt {attempt + 1} wedged "
                   f"(no result in {budget:.0f}s); retrying", flush=True)
@@ -112,7 +119,14 @@ def main():
 
 
 def measure(forced_note=None):
-    note = forced_note if forced_note is not None else _probe_backend()
+    import os
+
+    if forced_note is not None:
+        note = forced_note
+    elif os.environ.get("CSS_TPU_BENCH_SKIP_PROBE"):
+        note = None  # supervised by the parent's subprocess timeout
+    else:
+        note = _probe_backend()
     import jax
 
     if note is not None:
@@ -191,12 +205,21 @@ def measure(forced_note=None):
     extras = []
     if note is not None:  # training benches are meaningless off-accelerator
         extras = [{"metric": "train_step_throughput", "skipped": note},
+                  {"metric": "train_step_throughput_quality", "skipped": note},
                   {"metric": "train_device_mix_throughput", "skipped": note}]
     else:
-        try:
+        try:  # speed mode: batch 64 x T=128 (the +37% lever, VERDICT r4 #3)
             extras.append(bench_train())
         except Exception as e:  # never lose the primary metric
             extras.append({"metric": "train_step_throughput",
+                           "error": str(e)})
+        try:  # quality-recipe config: batch 32 x T=155 unaligned
+            extras.append(bench_train(
+                batch=32, t_frames=155,
+                metric="train_step_throughput_quality",
+                config="quality: batch 32 x T=155 unaligned"))
+        except Exception as e:
+            extras.append({"metric": "train_step_throughput_quality",
                            "error": str(e)})
         try:
             extras.append(bench_train_device_mix())
@@ -224,14 +247,20 @@ def measure(forced_note=None):
     print(json.dumps(result))
 
 
-def bench_train():
+def bench_train(batch=64, t_frames=128, metric="train_step_throughput",
+                config="speed: batch 64 x T=128 lane-aligned"):
     """Throughput of the shipped Trainer.train_one_epoch loop.
 
     Batches are device-staged once (the tunneled dev host's ~200 ms/batch
-    host->device transfer would otherwise swamp the 34 ms step; a real TPU
+    host->device transfer would otherwise swamp the step; a real TPU
     VM overlaps the PCIe copy via the async PrefetchLoader), then the REAL
     epoch loop runs — per-step rng split, async dispatch, metric
     accumulation — exactly as `cli.train` does.
+
+    Defaults to SPEED mode (batch 64 x T=128 — the measured +37% config,
+    BASELINE.md round 4); `measure()` also reports the quality-recipe
+    config (batch 32 x T=155 unaligned) under
+    ``train_step_throughput_quality``.
     """
     import itertools
     import jax
@@ -244,8 +273,7 @@ def bench_train():
     from css_tpu.trainer.loop import training_rng
 
     sr = 16000
-    win = 512 + 127 * 256  # 2.064 s = T=128 frames (lane-aligned bucket)
-    batch = 32
+    win = 512 + (t_frames - 1) * 256
     model = Conformer(compute_dtype=jnp.bfloat16)
     trainer = Trainer(model, MeanSquaredError(noise_weight=0.3),
                       LRSchedule(lr=1e-4, warmup=1000), optim="adam",
@@ -279,10 +307,11 @@ def bench_train():
     n_chips = max(jax.local_device_count(), 1)
     value = iters * batch * (win / sr) / dt / n_chips
     return {
-        "metric": "train_step_throughput",
+        "metric": metric,
         "value": round(value, 2),
         "unit": "audio_sec/s/chip",
         "ms_per_step": round(dt / iters * 1e3, 2),
+        "config": config,
     }
 
 

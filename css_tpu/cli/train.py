@@ -644,7 +644,14 @@ def main(argv=None):
                  len(probe_top), [e for _, e, _ in probe_top],
                  ["%+.2f" % v for v, _, _ in probe_top], avg_probe)
         best_val, best_epoch, best_path = probe_top[0]
-        if avg_probe < best_val:
+        if not np.isfinite(avg_probe):
+            # probe failure on the average: treat as "worse" so the
+            # guard ships the best single epoch instead of silently
+            # publishing an unprobed average (ADVICE r4)
+            log.warning("avgtop.%d.mdl: probe of the average is "
+                        "non-finite (%s) — treating as worse than best "
+                        "single epoch", args.job, avg_probe)
+        if not np.isfinite(avg_probe) or avg_probe < best_val:
             # cross-basin guard: top-N epochs far apart in training can
             # sit in different basins, where averaging HURTS (round 2;
             # g2 round 4: epochs [6,19] probe +6.04/+6.02 -> avg +4.60).

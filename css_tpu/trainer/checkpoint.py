@@ -194,7 +194,10 @@ def warm_start(params, ckpt_params, replace_output: bool = False,
             return leaf
         key = jax.tree_util.keystr(path)
         if key in src and np.shape(src[key]) == np.shape(leaf):
-            return np.asarray(src[key])
+            # Cast to the DESTINATION dtype: slim f16 checkpoints
+            # (scripts/persist_checkpoint.py) must not silently demote
+            # fp32 master weights when consumed via --init.
+            return np.asarray(src[key], dtype=np.asarray(leaf).dtype)
         return leaf
 
     return jax.tree_util.tree_map_with_path(copy_leaf, params)

@@ -23,8 +23,34 @@ cd "$(dirname "$0")/.."
 export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 
 start=${1:-1}
-marker() { mkdir -p exp/.queue && touch "exp/.queue/$1.done"; }
-done_already() { [ -f "exp/.queue/$1.done" ]; }
+# marker <name> <artifact...>: record done ONLY after every declared
+# output artifact exists non-empty (VERDICT r4 weak #5: a bare touch-file
+# let never-run steps read as done). The marker records the artifacts;
+# done_already re-verifies them, so an empty/hand-touched marker no
+# longer skips a step.
+marker() {
+  local name=$1; shift
+  [ "$#" -ge 1 ] || { echo "[queue] marker $name: no artifacts declared" >&2; return 1; }
+  local a
+  for a in "$@"; do
+    [ -s "$a" ] || {
+      echo "[queue] marker $name REFUSED: missing/empty artifact $a" >&2
+      return 1
+    }
+  done
+  mkdir -p exp/.queue
+  printf '%s\n' "$@" > "exp/.queue/$name.done"
+}
+done_already() {
+  local f="exp/.queue/$1.done" line any=0
+  [ -s "$f" ] || return 1
+  while IFS= read -r line; do
+    [ -n "$line" ] || continue
+    [ -s "$line" ] || return 1
+    any=1
+  done < "$f"
+  [ "$any" -eq 1 ]
+}
 step() { [ "$start" -le "$1" ] && ! done_already "$2"; }
 
 resume_or_init() { # see tpu_queue_r4b.sh
@@ -41,10 +67,11 @@ resume_or_init() { # see tpu_queue_r4b.sh
 }
 
 evalboth() { # evalboth <log> <model> <ck...>: matched + ladder, reanchor
-  local log=$1 model=$2; shift 2
+  local log=$1 model=$2 n_eval=0; shift 2
   {
     for ck in "$@"; do
       [ -f "$ck" ] || continue
+      n_eval=$((n_eval + 1))
       tag=$(echo "$ck" | tr '/.' '__')
       echo "== $ck MATCHED dense-f0 (stratified, reanchor)"
       python scripts/quality_eval.py --checkpoint "$ck" --model "$model" \
@@ -55,6 +82,8 @@ evalboth() { # evalboth <log> <model> <ck...>: matched + ladder, reanchor
         --voice formant --sessions 8 --stratify-f0 --reanchor \
         --workdir "/tmp/qL_$tag"
     done
+    echo "evalboth: evaluated $n_eval checkpoint(s)"
+    [ "$n_eval" -ge 1 ]  # zero checkpoints evaluated = step failed
   } 2>&1 | tee "exp/$log"
 }
 
@@ -72,7 +101,7 @@ if step 1 h2; then
     --lr 1e-4 --warmup 15000 --decay 2e-5 --mse-noise-weight 0.3 \
     --mse-order-weight 0.6 \
     --keep-every 10 --keep-last 3 $(resume_or_init exp/h2) \
-    2>&1 | tee -a exp/h2.log && marker h2
+    2>&1 | tee -a exp/h2.log && marker h2 exp/h2/best.1.mdl
 fi
 
 if step 2 h2ft; then
@@ -83,12 +112,12 @@ if step 2 h2ft; then
     --lr 2e-5 --warmup 100 --decay 1e-4 --masksnr-mag-weight 0.05 \
     --average-probe-top 2 --keep-every 3 --keep-last 5 \
     $(resume_or_init exp/h2ft "$init") --seed 11 \
-    2>&1 | tee -a exp/h2ft.log && marker h2ft
+    2>&1 | tee -a exp/h2ft.log && marker h2ft exp/h2ft/best.1.mdl
 fi
 
 if step 3 h2ev; then
   evalboth h2ev.log Conformer exp/h2ft/best.1.mdl exp/h2ft/avgtop.1.mdl \
-    && marker h2ev
+    && marker h2ev exp/h2ev.log
 fi
 
 # flagship = best available fine-tune (g2ft consistency branch included)
@@ -116,14 +145,14 @@ if step 4 rafresh2; then
         --seed "$seed" --stratify-f0 --reanchor-ab \
         --workdir "/tmp/qrfL$seed"
     done
-  } 2>&1 | tee exp/reanchor_fresh.log && marker rafresh2
+  } 2>&1 | tee exp/reanchor_fresh.log && marker rafresh2 exp/reanchor_fresh.log
 fi
 
 if step 5 wer2; then
   FLAG=$(flagship)
   python scripts/wer_demo.py --checkpoint "$FLAG" --sessions 4 \
     --session-sec 30 --voice formant --f0-max 400 --reanchor \
-    --workdir /tmp/werq 2>&1 | tee exp/wer_r4.log && marker wer2
+    --workdir /tmp/werq 2>&1 | tee exp/wer_r4.log && marker wer2 exp/wer_r4.log
 fi
 
 if step 6 s7b; then
@@ -142,7 +171,7 @@ if step 6 s7b; then
     python scripts/spatial_quality_eval.py --checkpoint exp/s7/best.1.mdl \
       --stratify-azimuth --sessions 8 --session-sec 30 \
       --voice formant --f0-max 400 --merge --reanchor
-  } 2>&1 | tee exp/spatial_strat.log && marker s7b
+  } 2>&1 | tee exp/spatial_strat.log && marker s7b exp/spatial_strat.log exp/s7/best.1.mdl
 fi
 
 if step 7 c2b; then
@@ -160,7 +189,7 @@ if step 7 c2b; then
     python scripts/causal_quality_curve.py --checkpoint exp/c2/best.1.mdl \
       --model BLSTM --voice formant --f0-max 400 --sessions 4 \
       --session-sec 30 --modes offline,window,hop --workdir /tmp/curve_c2
-  } 2>&1 | tee exp/curve_c2.log && marker c2b
+  } 2>&1 | tee exp/curve_c2.log && marker c2b exp/curve_c2.log exp/c2/best.1.mdl
 fi
 
 if step 8 c1b; then
@@ -178,7 +207,7 @@ if step 8 c1b; then
     echo "== warm hop-streaming throughput (causal Conformer)"
     python scripts/hop_bench.py --checkpoint exp/c1/best.1.mdl \
       --model Conformer --chunk-frames 8 64 --session-sec 30
-  } 2>&1 | tee exp/curve_c1.log && marker c1b
+  } 2>&1 | tee exp/curve_c1.log && marker c1b exp/curve_c1.log exp/c1/best.1.mdl
 fi
 
 if step 9 benchfinal; then
@@ -187,7 +216,7 @@ if step 9 benchfinal; then
     python bench.py
     echo "== bench.py final run B"
     python bench.py
-  } 2>&1 | tee exp/bench_final.log && marker benchfinal
+  } 2>&1 | tee exp/bench_final.log && marker benchfinal exp/bench_final.log
 fi
 
 echo "QUEUE_R4C_DONE"

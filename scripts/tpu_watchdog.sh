@@ -19,6 +19,7 @@ START=${2:-1}
 STALL_MIN=${STALL_MIN:-10}
 MAX_RESTARTS=${MAX_RESTARTS:-30}
 DONE_TAG=${DONE_TAG:-QUEUE}
+DRIVER_LOG=${DRIVER_LOG:-exp/queue_driver.log}
 
 group_cpu() { # total cumulative CPU (centiseconds) of process group $1
   local total=0 pid
@@ -40,7 +41,7 @@ mkdir -p exp
 for attempt in $(seq 1 "$MAX_RESTARTS"); do
   echo "[watchdog] attempt $attempt: starting $QUEUE $START" \
     | tee -a exp/watchdog.log
-  setsid bash "$QUEUE" "$START" >> exp/queue_driver.log 2>&1 &
+  setsid bash "$QUEUE" "$START" >> "$DRIVER_LOG" 2>&1 &
   QPID=$!
   PGID=$(ps -o pgid= -p "$QPID" | tr -d ' ')
   stalled=0 last=-1
@@ -64,7 +65,7 @@ for attempt in $(seq 1 "$MAX_RESTARTS"); do
     fi
   done
   wait "$QPID" 2>/dev/null
-  if grep -q "${DONE_TAG}.*DONE" exp/queue_driver.log 2>/dev/null; then
+  if grep -q "${DONE_TAG}.*DONE" "$DRIVER_LOG" 2>/dev/null; then
     echo "[watchdog] queue finished" | tee -a exp/watchdog.log
     exit 0
   fi
