@@ -134,6 +134,13 @@ def parse_arguments(argv=None):
                              "anti-correlated with held-out quality). "
                              "1ch STFT-mask models only")
     parser.add_argument("--probe-session-sec", type=float, default=12.0)
+    parser.add_argument("--probe-stratify-f0", action="store_true",
+                        help="pick probe session speaker pairs evenly "
+                             "across the |f0| gap spectrum incl. the "
+                             "closest pair (matches the 8-session "
+                             "protocol's --stratify-f0; fixes the round-4 "
+                             "probe/protocol rank inversions on close-f0 "
+                             "material). Use with --probe-session-sec 30")
     parser.add_argument("--average-probe-top", type=int, default=0,
                         help="after training, average the parameters of "
                              "the N epochs with the highest held-out probe "
@@ -416,7 +423,8 @@ def main(argv=None):
             session_sec=args.probe_session_sec, seed=args.probe_seed,
             num_spk=int(conf.get("num_spk", 2) or 2),
             mode=probe_mode, ipd_index=probe_ipd,
-            noise_level=args.sensor_noise_level)
+            noise_level=args.sensor_noise_level,
+            stratify_f0=args.probe_stratify_f0)
     if args.average_probe_top > 0 and probe is None:
         raise SystemExit("--average-probe-top requires --probe-sessions > 0")
 

@@ -86,7 +86,8 @@ class HeldOutProbe:
                  wta_floor: float = 1e-4, overlap_frac: float = 0.3,
                  mode: str = "mask", ipd_index: Optional[str] = None,
                  noise_level: float = 0.003,
-                 min_separation_deg: float = 20.0):
+                 min_separation_deg: float = 20.0,
+                 stratify_f0: bool = False):
         from css_tpu.data.sessions import make_session
 
         if mode not in ("mask", "spatial", "time"):
@@ -98,11 +99,30 @@ class HeldOutProbe:
         self.mode = mode
         win = int(eval_win * sr) + 256  # separator window (separator.py:67)
         hop = int(eval_hop * sr)
+        # stratify_f0: pick session speaker pairs evenly across the
+        # |f0_a - f0_b| spectrum INCLUDING the closest pair — the 8x60 s
+        # protocol (scripts/quality_eval.py --stratify-f0) is dominated
+        # by close-f0 sessions the random 2-of-6 draw rarely samples;
+        # round 4 measured probe/protocol rank INVERSIONS (g2ft probed
+        # +9.32 best-ever yet protocolled +1.37 — BASELINE.md) on
+        # exactly those. Opt-in (k=2 only) to keep shipped recipes'
+        # selection bit-identical.
+        pairs = [None] * sessions
+        if stratify_f0:
+            if num_spk != 2:
+                raise ValueError("stratify_f0 probe supports num_spk=2")
+            f0 = corpus.f0_by_speaker
+            ranked = sorted(
+                ((a, b) for i, a in enumerate(corpus.speakers)
+                 for b in corpus.speakers[i + 1:]),
+                key=lambda p: abs(f0[p[0]] - f0[p[1]]))
+            idx = np.linspace(0, len(ranked) - 1, sessions).round()
+            pairs = [ranked[int(j)] for j in idx]
         mixes, refs, windows, ref_windows = [], [], [], []
-        for _ in range(sessions):
+        for si in range(sessions):
             mix, srcs = make_session(corpus, rng, session_sec, sr=sr,
                                      overlap_frac=overlap_frac,
-                                     num_spk=num_spk)
+                                     num_spk=num_spk, pair=pairs[si])
             if mode == "spatial":
                 from css_tpu.data.spatial import spatial_session
 

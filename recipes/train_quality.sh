@@ -39,7 +39,12 @@ common=(--model Conformer --objective "$objective"
         --synthetic-data --synthetic-speakers 96 --synthetic-utts 12
         --synthetic-f0-max 400 --synthetic-voice "$VOICE"
         --batch-size 32 --optim adam --weight-decay 0.01 --grad-thresh 5.0
-        --keep-best --validate-batches 16 --probe-sessions 4
+        --keep-best --validate-batches 16
+        # probe config validated in round 5 (scripts/probe_validate.py):
+        # the legacy 4x12s probe RANK-INVERTED vs the 8-session protocol
+        # across lineages (g2ft probed best-ever yet protocolled worst);
+        # 6x30s f0-stratified sessions restore the protocol's ranking
+        --probe-sessions 6 --probe-session-sec 30 --probe-stratify-f0
         --device-mix --bf16 --steps-per-dispatch 16 --num-workers 2 --job 1)
 
 case "$phase" in
