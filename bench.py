@@ -203,7 +203,11 @@ def measure(forced_note=None):
     value = audio_sec / dt / n_chips
 
     extras = []
-    if note is not None:  # training benches are meaningless off-accelerator
+    if os.environ.get("CSS_TPU_BENCH_SKIP_TRAIN"):
+        # inference-only mode (drift A/B runs: scripts/drift_ab.sh)
+        extras = [{"metric": "train_step_throughput",
+                   "skipped": "CSS_TPU_BENCH_SKIP_TRAIN"}]
+    elif note is not None:  # training benches are meaningless off-accelerator
         extras = [{"metric": "train_step_throughput", "skipped": note},
                   {"metric": "train_step_throughput_quality", "skipped": note},
                   {"metric": "train_device_mix_throughput", "skipped": note}]
