@@ -151,7 +151,7 @@ fi
 if step 5 wer2; then
   FLAG=$(flagship)
   python scripts/wer_demo.py --checkpoint "$FLAG" --sessions 4 \
-    --session-sec 30 --voice formant --f0-max 400 --reanchor \
+    --session-sec 30 --voice formant --f0-max 400 --reanchor --streaming \
     --workdir /tmp/werq 2>&1 | tee exp/wer_r4.log && marker wer2 exp/wer_r4.log
 fi
 
@@ -217,6 +217,21 @@ if step 9 benchfinal; then
     echo "== bench.py final run B"
     python bench.py
   } 2>&1 | tee exp/bench_final.log && marker benchfinal exp/bench_final.log
+fi
+
+if step 10 wer7; then
+  # VERDICT r4 next #10: WER column for the 7ch MVDR surface (uses the
+  # s7 checkpoint trained in step 6; skips cleanly if it failed)
+  FLAG=$(flagship)
+  python scripts/wer_demo.py --checkpoint "$FLAG" --sessions 4 \
+    --session-sec 30 --voice formant --f0-max 400 --reanchor \
+    --checkpoint-7ch exp/s7/best.1.mdl --model-7ch Conformer \
+    --workdir /tmp/werq7 2>&1 | tee exp/wer_7ch.log && marker wer7 exp/wer_7ch.log
+fi
+
+if step 11 driftab; then
+  # VERDICT r4 next #6: inference-drift A/B (r01 code vs HEAD, interleaved)
+  bash scripts/drift_ab.sh 3 && marker driftab exp/drift_ab.log
 fi
 
 echo "QUEUE_R4C_DONE"

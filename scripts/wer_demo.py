@@ -49,6 +49,17 @@ def main(argv=None):
     parser.add_argument("--workdir", default="/tmp/css_tpu_wer")
     parser.add_argument("--reanchor", action="store_true")
     parser.add_argument("--beamformer", default="masking")
+    parser.add_argument("--streaming", action="store_true",
+                        help="also score the window-granular streaming "
+                             "executor (cli.separate --streaming) — "
+                             "wer_separated_streaming column")
+    parser.add_argument("--checkpoint-7ch", default=None,
+                        help="7ch checkpoint (idim 257*7, "
+                             "--spatialize-channels 7 training): render "
+                             "the sessions on the 7-mic array and score "
+                             "the MVDR path — wer_separated_7ch column")
+    parser.add_argument("--model-7ch", default="Conformer")
+    parser.add_argument("--noise-level", type=float, default=0.003)
     args = parser.parse_args(argv)
 
     import yaml
@@ -65,6 +76,10 @@ def main(argv=None):
     for d in (mix_dir, clean_dir, out_dir, mixbase_dir):
         d.mkdir(parents=True, exist_ok=True)
 
+    mix7_dir = work / "mix7"
+    if args.checkpoint_7ch:
+        mix7_dir.mkdir(parents=True, exist_ok=True)
+
     corpus = SyntheticCorpus(
         num_speakers=args.num_speakers,
         utts_per_speaker=args.utts_per_speaker, seed=args.seed,
@@ -77,6 +92,15 @@ def main(argv=None):
                 corpus, rng, args.session_sec, with_info=True)
             key = f"sess{i}"
             write_wav(mix_dir / f"{key}.wav", mix)
+            if args.checkpoint_7ch:
+                from css_tpu.data.spatial import spatial_session
+
+                az = rng.choice(np.arange(0, 360, 12), srcs.shape[0],
+                                replace=False)
+                wav7 = spatial_session(srcs, az,
+                                       noise_level=args.noise_level,
+                                       seed=args.seed + i)
+                write_wav(mix7_dir / f"{key}.wav", wav7)
             # mixture copy named as a stream so cli.wer can score the
             # un-separated baseline with the same discovery rule
             write_wav(mixbase_dir / f"{key}_0.wav", mix)
@@ -124,6 +148,51 @@ def main(argv=None):
     summary["wer_separated"] = wer_cli.main([
         "--estimates", str(out_dir), "--references", str(refs_path),
         "--asr-cmd", asr])["wer"]
+
+    if args.streaming:
+        # VERDICT r4 next #10: every user surface gets an end-metric —
+        # the incremental streaming executor scored on the same material
+        out_stream = work / "out_stream"
+        out_stream.mkdir(parents=True, exist_ok=True)
+        separate_cli.main([
+            "--config", str(cfg_path), "--checkpoint", args.checkpoint,
+            "--model", args.model, "--corpus-dir", str(mix_dir),
+            "--out-dir", str(out_stream), "--streaming"])
+        print("== WER: separated streams (streaming executor) ==",
+              flush=True)
+        summary["wer_separated_streaming"] = wer_cli.main([
+            "--estimates", str(out_stream), "--references", str(refs_path),
+            "--asr-cmd", asr])["wer"]
+
+    if args.checkpoint_7ch:
+        # 7ch MVDR path on the far-field renders (channel 0 carries the
+        # dry mixture image, so the same references apply)
+        config7 = {
+            "sampling_rate": 16000,
+            "separation": {"batch_size": 16, "eval_win": ew, "eval_hop": eh,
+                           "frame_length": 512, "frame_shift": 256,
+                           "ipd": "1,0;2,0;3,0;4,0;5,0;6,0",
+                           "merge": True, "merge_threshold": 16},
+            "stitching": {"eval_win": ew, "eval_hop": eh, "hop_size": 256,
+                          "reanchor": bool(args.reanchor)},
+            "beamforming": {"type": "SoudenMVDRBeamformer",
+                            "hop_size": 256, "n_fft": 512, "eval_hop": eh,
+                            "eval_win": ew, "proceed_margin": 2,
+                            "wta_thresh": 1e-4},
+        }
+        cfg7_path = work / "config7.yaml"
+        cfg7_path.write_text(yaml.safe_dump(config7))
+        out7 = work / "out7"
+        out7.mkdir(parents=True, exist_ok=True)
+        separate_cli.main([
+            "--config", str(cfg7_path), "--checkpoint", args.checkpoint_7ch,
+            "--model", args.model_7ch, "--corpus-dir", str(mix7_dir),
+            "--out-dir", str(out7)])
+        print("== WER: separated streams (7ch MVDR) ==", flush=True)
+        summary["wer_separated_7ch"] = wer_cli.main([
+            "--estimates", str(out7), "--references", str(refs_path),
+            "--asr-cmd", asr])["wer"]
+
     summary |= {"sessions": args.sessions, "voice": args.voice,
                 "reanchor": bool(args.reanchor),
                 "checkpoint": args.checkpoint}
