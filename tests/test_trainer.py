@@ -147,6 +147,26 @@ def test_warm_start_with_output_replacement():
         merged["linear"]["kernel"], np.asarray(s2.params["linear"]["kernel"]))
 
 
+def test_warm_start_casts_to_destination_dtype():
+    """--init from a slim f16 checkpoint must NOT demote fp32 master
+    weights (ADVICE r4 medium: persist_checkpoint.py lists --init as a
+    consumer; params stored f16 silently trained in f16 all run)."""
+    trainer = _tiny_trainer()
+    loader = _loader()
+    s1 = trainer.init_state(jax.random.PRNGKey(0), next(loader))
+    import numpy as np
+
+    slim = jax.tree.map(lambda x: np.asarray(x, np.float16), s1.params)
+    fresh = jax.tree.map(lambda x: np.asarray(x), s1.params)
+    merged = checkpoint.warm_start(fresh, slim)
+    for leaf in jax.tree.leaves(merged):
+        assert np.asarray(leaf).dtype == np.float32
+    # values round-trip through the f16 cast
+    np.testing.assert_allclose(
+        np.asarray(merged["embed_linear"]["kernel"]),
+        np.asarray(s1.params["embed_linear"]["kernel"]), atol=1e-3)
+
+
 def test_gc_checkpoints(tmp_path):
     for e in range(1, 11):
         (tmp_path / f"{e}.mdl").write_bytes(b"x")
