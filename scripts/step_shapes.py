@@ -91,6 +91,35 @@ def main():
     run(128, 2.064)
     run(32, 2.5, dtype="f32")         # MXU-bound test: f32 ~2x => MXU
     run(32, 2.5, prng="threefry2x32")  # dropout PRNG cost today
+    # round 5: can a 3-bucket ALIGNED ladder {2.064, 3.088, 4.112}s
+    # (T=128/192/256, frame_align=64) recover most of the alignment
+    # speedup without round 4's 2-bucket distribution collapse?
+    run(32, 3.088)                    # T=192 (scores pad 192->256)
+    run(64, 3.088)
+    run(32, 4.112)                    # T=256 fully aligned long bucket
+
+    # micro: is padding the 257-bin feature dim to 384 worth it?
+    # prediction: NO — ceil(257/128)=3 K-tiles, same as 384/128=3, so
+    # the MXU does identical work either way (docs/ROADMAP.md item)
+    import jax.numpy as jnp2
+
+    def micro_matmul(k):
+        a = jnp2.asarray(host.standard_normal((4960, k)), jnp2.bfloat16)
+        b = jnp2.asarray(host.standard_normal((k, 256)), jnp2.bfloat16)
+        f = jax.jit(lambda a, b: a @ b)
+        jax.device_get(f(a, b))
+        best = float("inf")
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            for _ in range(200):
+                out = f(a, b)
+            jax.device_get(out)
+            best = min(best, time.perf_counter() - t0)
+        print(json.dumps({"micro_matmul_k": k,
+                          "us": round(best / 200 * 1e6, 1)}), flush=True)
+
+    for k in (256, 257, 384):
+        micro_matmul(k)
 
 
 if __name__ == "__main__":
