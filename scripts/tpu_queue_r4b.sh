@@ -49,10 +49,11 @@ resume_or_init() { # resume_or_init <expdir> [init.mdl]: echo train flags.
 }
 
 evalboth() { # evalboth <log> <model> <ck...>: matched + ladder, reanchor
-  local log=$1 model=$2; shift 2
+  local log=$1 model=$2 n_eval=0; shift 2
   {
     for ck in "$@"; do
       [ -f "$ck" ] || continue
+      n_eval=$((n_eval + 1))
       tag=$(echo "$ck" | tr '/.' '__')
       echo "== $ck MATCHED dense-f0 (stratified, reanchor)"
       python scripts/quality_eval.py --checkpoint "$ck" --model "$model" \
@@ -63,6 +64,8 @@ evalboth() { # evalboth <log> <model> <ck...>: matched + ladder, reanchor
         --voice formant --sessions 8 --stratify-f0 --reanchor \
         --workdir "/tmp/qL_$tag"
     done
+    echo "evalboth: evaluated $n_eval checkpoint(s)"
+    [ "$n_eval" -ge 1 ]  # zero checkpoints evaluated = step failed (ADVICE r4)
   } 2>&1 | tee "exp/$log"
 }
 
