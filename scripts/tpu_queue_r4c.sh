@@ -234,4 +234,17 @@ if step 11 driftab; then
   bash scripts/drift_ab.sh 3 && marker driftab exp/drift_ab.log
 fi
 
+if step 12 dropbench; then
+  # fused Pallas dropout: kernel validation + step A/B on hardware
+  # (dropout = ~17% of the step, BASELINE.md round 4)
+  python scripts/dropout_kernel_bench.py 2>&1 | tee exp/dropout_bench.log \
+    && marker dropbench exp/dropout_bench.log
+fi
+
+if step 13 shapes2; then
+  # aligned 3-bucket ladder + 257-vs-384 K-tile micro probe
+  python scripts/step_shapes.py 2>&1 | tee exp/step_shapes_r5.log \
+    && marker shapes2 exp/step_shapes_r5.log
+fi
+
 echo "QUEUE_R4C_DONE"
