@@ -205,8 +205,10 @@ def measure(forced_note=None):
     extras = []
     if os.environ.get("CSS_TPU_BENCH_SKIP_TRAIN"):
         # inference-only mode (drift A/B runs: scripts/drift_ab.sh)
-        extras = [{"metric": "train_step_throughput",
-                   "skipped": "CSS_TPU_BENCH_SKIP_TRAIN"}]
+        extras = [{"metric": m, "skipped": "CSS_TPU_BENCH_SKIP_TRAIN"}
+                  for m in ("train_step_throughput",
+                            "train_step_throughput_quality",
+                            "train_device_mix_throughput")]
     elif note is not None:  # training benches are meaningless off-accelerator
         extras = [{"metric": "train_step_throughput", "skipped": note},
                   {"metric": "train_step_throughput_quality", "skipped": note},

@@ -17,6 +17,7 @@ from css_tpu.data.corpus import write_wav
 from css_tpu.executor.beamformer import Beamformer
 from css_tpu.executor.separator import Separator
 from css_tpu.executor.stitcher import Stitcher
+from css_tpu.executor.windowing import pad_for_windows
 
 
 class CssPipeline:
@@ -84,6 +85,11 @@ class CssPipeline:
         # time region is then seen at several positions within a window,
         # and the average washes out the per-offset edge artifacts.
         self.ensemble_offsets = int(sti.get("ensemble_offsets", 1))
+        if self.ensemble_offsets > 1 and self.sharded is not None:
+            raise ValueError(
+                "stitching.ensemble_offsets > 1 is not supported with "
+                "separation.sharded (the sharded program stitches on "
+                "device in one pass) — disable one of the two")
         self.frame_hop = int(sep.get("frame_shift", 256))
         self.beamformer = Beamformer(
             bf_type=bf.get("type", "souden_mvdr"),
@@ -99,15 +105,8 @@ class CssPipeline:
         """wav (T,) or (C, T) -> tuple of num_spk separated streams."""
         wav = np.asarray(wav, np.float32)
         total = wav.shape[-1]
-        # pad so sliding windows cover the WHOLE recording (bare unfold
-        # drops the ragged tail — up to eval_win seconds of audio,
-        # separator.py:67 has the same truncation)
         win, hop = self.separator.win, self.separator.hop
-        n_win = max(1, -(-(total - win) // hop) + 1)
-        needed = (n_win - 1) * hop + win
-        if needed > total:
-            pad = [(0, 0)] * (wav.ndim - 1) + [(0, needed - total)]
-            wav = np.pad(wav, pad)
+        wav = pad_for_windows(wav, win, hop)
         if self.sharded is not None:
             stitched, masks, mags = self.sharded.separate(wav)
             stitched = [np.asarray(m) for m in stitched]
@@ -150,14 +149,9 @@ class CssPipeline:
             if o == 0:
                 continue
             sub = wav[..., o:]
-            total = sub.shape[-1]
-            if total < win:
+            if sub.shape[-1] < win:
                 continue
-            n_win = max(1, -(-(total - win) // hop) + 1)
-            needed = (n_win - 1) * hop + win
-            if needed > total:
-                pad = [(0, 0)] * (sub.ndim - 1) + [(0, needed - total)]
-                sub = np.pad(sub, pad)
+            sub = pad_for_windows(sub, win, hop)
             masks, mags = self.separator.separate(sub)
             off = [np.asarray(m) for m in self.stitcher(masks, mags)]
             of = o // fft_hop

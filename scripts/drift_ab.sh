@@ -17,8 +17,14 @@ R01=0c98741
 WT=/tmp/css_tpu_r01
 mkdir -p exp
 
-if [ ! -d "$WT" ]; then
-  git worktree add --detach "$WT" "$R01" 2>&1 | tail -1
+if [ ! -f "$WT/bench.py" ]; then
+  # a wiped /tmp can leave the worktree registered but missing —
+  # prune the registration before re-adding, and fail loudly if the
+  # add itself fails (an empty A arm would make the whole A/B moot)
+  git worktree prune
+  rm -rf "$WT"
+  git worktree add --detach "$WT" "$R01" || {
+    echo "drift_ab: could not create r01 worktree" >&2; exit 1; }
 fi
 
 {
@@ -31,5 +37,12 @@ fi
       || echo "current bench failed"
   done
 } 2>&1 | tee exp/drift_ab.log
+
+# the A/B answered the question only if BOTH arms produced measurements
+a_lines=$(grep -c '^{"metric"' exp/drift_ab.log || true)
+if [ "$a_lines" -lt 2 ]; then
+  echo "drift_ab: fewer than 2 measurement lines ($a_lines) — A/B failed" >&2
+  exit 1
+fi
 
 echo "DRIFT_AB_DONE"

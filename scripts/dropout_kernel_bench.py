@@ -11,6 +11,11 @@ KERNEL path on hardware and measures the end-to-end train-step win:
      CSS_TPU_FAST_DROPOUT=1 — dropout measured at ~17% of the step
      (BASELINE.md round 4), so the ceiling here is ~+20%.
 
+The timing harness deliberately mirrors scripts/step_shapes.py
+(staged `_train_step`, best-of-repeats, device_get flush) — NOT
+bench.py's loop-level bench — so the A/B deltas are directly comparable
+to the step_shapes shape-sensitivity numbers they extend.
+
   python scripts/dropout_kernel_bench.py [--iters 20]
 """
 

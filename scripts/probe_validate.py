@@ -79,10 +79,20 @@ def main(argv=None):
     probes = {name: HeldOutProbe(corpus, seed=args.probe_seed, **kw)
               for name, kw in configs.items()}
 
-    model = MODELS[args.model].build_model({})
     rows = []
+    prev_conf = None
     for i, path in enumerate(args.checkpoints):
         ckpt = checkpoint.load_checkpoint(path)
+        # build from the checkpoint's stored conf (cli/separate.py:91-92)
+        # so non-default hyperparameters score on the right architecture
+        conf = dict(ckpt.get("conf", {}))
+        model = MODELS[args.model].build_model(conf)
+        if prev_conf is not None and conf != prev_conf:
+            # HeldOutProbe caches its jitted fn closed over the first
+            # model — rebuild the probes when the architecture changes
+            probes = {name: HeldOutProbe(corpus, seed=args.probe_seed, **kw)
+                      for name, kw in configs.items()}
+        prev_conf = conf
         variables = {"params": ckpt["params"]}
         if ckpt.get("batch_stats"):
             variables["batch_stats"] = ckpt["batch_stats"]

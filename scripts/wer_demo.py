@@ -77,6 +77,12 @@ def main(argv=None):
         d.mkdir(parents=True, exist_ok=True)
 
     mix7_dir = work / "mix7"
+    if args.checkpoint_7ch and not Path(args.checkpoint_7ch).exists():
+        # skip the 7ch arm cleanly (e.g. the s7 training step failed) —
+        # crashing here would discard the 1ch columns computed below
+        print(f"checkpoint-7ch {args.checkpoint_7ch} missing — "
+              "skipping the 7ch arm", flush=True)
+        args.checkpoint_7ch = None
     if args.checkpoint_7ch:
         mix7_dir.mkdir(parents=True, exist_ok=True)
 
@@ -95,8 +101,12 @@ def main(argv=None):
             if args.checkpoint_7ch:
                 from css_tpu.data.spatial import spatial_session
 
-                az = rng.choice(np.arange(0, 360, 12), srcs.shape[0],
-                                replace=False)
+                # dedicated rng: drawing azimuths from the session rng
+                # would shift every later session's material vs a run
+                # without the 7ch arm (breaking 1ch/7ch comparability)
+                az_rng = np.random.default_rng(args.seed + 1000 + i)
+                az = az_rng.choice(np.arange(0, 360, 12), srcs.shape[0],
+                                   replace=False)
                 wav7 = spatial_session(srcs, az,
                                        noise_level=args.noise_level,
                                        seed=args.seed + i)
