@@ -247,4 +247,23 @@ if step 13 shapes2; then
     && marker shapes2 exp/step_shapes_r5.log
 fi
 
+if step 14 ensq; then
+  # flagship-scale boundary-offset ensemble A/B (VERDICT r4 next #8):
+  # 8-session matched + ladder, reanchor, offsets 1 vs 3
+  FLAG=$(flagship)
+  {
+    echo "flagship: $FLAG"
+    for off in 1 3; do
+      echo "== MATCHED ensemble_offsets=$off"
+      python scripts/quality_eval.py --checkpoint "$FLAG" --model Conformer \
+        --voice formant --f0-max 400 --sessions 8 --stratify-f0 --reanchor \
+        --ensemble-offsets "$off" --skip-oracle --workdir "/tmp/qEM$off"
+      echo "== LADDER ensemble_offsets=$off"
+      python scripts/quality_eval.py --checkpoint "$FLAG" --model Conformer \
+        --voice formant --sessions 8 --stratify-f0 --reanchor \
+        --ensemble-offsets "$off" --skip-oracle --workdir "/tmp/qEL$off"
+    done
+  } 2>&1 | tee exp/ensemble_ab.log && marker ensq exp/ensemble_ab.log
+fi
+
 echo "QUEUE_R4C_DONE"
