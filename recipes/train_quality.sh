@@ -39,12 +39,14 @@ common=(--model Conformer --objective "$objective"
         --synthetic-data --synthetic-speakers 96 --synthetic-utts 12
         --synthetic-f0-max 400 --synthetic-voice "$VOICE"
         --batch-size 32 --optim adam --weight-decay 0.01 --grad-thresh 5.0
-        --keep-best --validate-batches 16
-        # probe config validated in round 5 (scripts/probe_validate.py):
-        # the legacy 4x12s probe RANK-INVERTED vs the 8-session protocol
-        # across lineages (g2ft probed best-ever yet protocolled worst);
-        # 6x30s f0-stratified sessions restore the protocol's ranking
-        --probe-sessions 6 --probe-session-sec 30 --probe-stratify-f0
+        --keep-best --validate-batches 16 --probe-sessions 4
+        # NOTE on probe config (round 5, scripts/probe_validate.py): a
+        # 6x30s f0-stratified probe fixed the 2-point rank inversion
+        # (h1ft vs g2ft) but the third point (h2ft) inverted EVERY probe
+        # config vs the reanchored 8-session protocol — no cheap probe
+        # ranks across lineages; the probe stays a WITHIN-run selector
+        # (where it has picked the protocol-best epoch three times) and
+        # cross-lineage decisions use the full protocol (BASELINE.md)
         --device-mix --bf16 --steps-per-dispatch 16 --num-workers 2 --job 1)
 
 case "$phase" in
