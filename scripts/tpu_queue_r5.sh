@@ -8,10 +8,10 @@
 # +1.37, h2ft +2.49) all land at +2.2-2.5 matched. Hypothesis: the
 # matched number is dominated by WHICH basin the short fine-tune lands
 # in (seed), not by the recipe. This queue tests it the cheap way: more
-# fine-tune seeds from the SAME h2/best base, each selected with the
-# round-5 stratified probe (the probe config validated to rank like the
-# protocol — scripts/probe_validate.py), then full-protocol evals of
-# every candidate. If a seed clears +4 matched, promote it to
+# fine-tune seeds from the SAME h2/best base (per-run epoch selection by
+# the legacy probe — within-run its only validated role), then
+# full-protocol evals of EVERY candidate (no probe ranks across
+# lineages — BASELINE.md round 5). If a seed clears +4 matched, promote it to
 # exp/flagship.mdl and persist slim; either way BASELINE.md records the
 # seed-variance finding with numbers.
 #
@@ -36,13 +36,15 @@ resume_or_init() {
   fi
 }
 
-# quality lineage: alignment OFF, order loss as in h2; NEW stratified
-# probe (6x30 s) drives --keep-best and the avgtop guard
+# quality lineage: alignment OFF, order loss as in h2; legacy 4x12s
+# probe for --keep-best/avgtop — the only selector with validated
+# WITHIN-run behavior (the stratified probe failed its third
+# cross-lineage validation point, BASELINE.md round 5; candidates are
+# promoted on the FULL protocol below, not on any probe)
 common=(--synthetic-data --synthetic-speakers 96 --synthetic-utts 12
         --synthetic-f0-max 400 --synthetic-voice formant
         --batch-size 32 --optim adam --weight-decay 0.01 --grad-thresh 5.0
-        --keep-best --validate-batches 16
-        --probe-sessions 6 --probe-session-sec 30 --probe-stratify-f0
+        --keep-best --validate-batches 16 --probe-sessions 4
         --device-mix --bf16 --steps-per-dispatch 16 --num-workers 2 --job 1)
 
 ft() { # ft <expdir> <seed>
