@@ -96,4 +96,21 @@ if step 5 sweepev; then
   } 2>&1 | tee exp/sweep_ev.log && marker sweepev exp/sweep_ev.log
 fi
 
+flagship() {
+  for ck in exp/flagship.mdl exp/h2ft/best.1.mdl; do
+    [ -f "$ck" ] && { echo "$ck"; return; }
+  done
+  echo checkpoints/h2ft_masksnr_best.mdl
+}
+
+if step 6 wers; then
+  # streaming-executor WER column (VERDICT r4 next #10; the r4c wer2
+  # step ran before the --streaming arm existed)
+  FLAG=$(flagship)
+  python scripts/wer_demo.py --checkpoint "$FLAG" --sessions 4 \
+    --session-sec 30 --voice formant --f0-max 400 --reanchor --streaming \
+    --workdir /tmp/werq_s 2>&1 | tee exp/wer_streaming.log \
+    && marker wers exp/wer_streaming.log
+fi
+
 echo "QUEUE_R5_DONE"
