@@ -20,7 +20,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from css_tpu.models.base import MODELS, add_common_mask_args
-from css_tpu.models._dropout import make_dropout
 from css_tpu.ops.features import cumulative_mvn, mvn
 
 DEFAULT_BLSTM_CONF = {"hidden_dim": 512, "num_layers": 4, "dropout_rate": 0.1}
@@ -105,7 +104,7 @@ class BiLSTMLayer(nn.Module):
             for d in dirs)
         self._hidden = hidden
         self.layer_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
-        self.dropout = make_dropout(self.dropout_rate)
+        self.dropout = nn.Dropout(self.dropout_rate)
 
     def __call__(self, x, train: bool = False):
         outs = []
@@ -176,7 +175,7 @@ class BLSTM(nn.Module):
         self.embed_linear = nn.Dense(self.hidden_dim,
                                      dtype=self.compute_dtype)
         self.embed_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.compute_dtype)
-        self.embed_dropout = make_dropout(self.dropout_rate)
+        self.embed_dropout = nn.Dropout(self.dropout_rate)
         self.encoders = [
             BiLSTMLayer(self.hidden_dim, self.dropout_rate,
                         dtype=self.compute_dtype, causal=self.causal)

@@ -25,7 +25,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from css_tpu.models.base import MODELS, add_common_mask_args
-from css_tpu.models._dropout import make_dropout
 from css_tpu.ops.features import cumulative_mvn, mvn
 
 DEFAULT_CONFORMER_CONF = {
@@ -51,7 +50,7 @@ class FeedForward(nn.Module):
         self.layer_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.w1 = nn.Dense(self.d_inner, dtype=self.dtype)
         self.w2 = nn.Dense(self.d_model, dtype=self.dtype)
-        self.drop = make_dropout(self.dropout_rate)
+        self.drop = nn.Dropout(self.dropout_rate)
 
     def __call__(self, x, train: bool = False):
         x = nn.relu(self.w1(self.layer_norm(x)))
@@ -78,7 +77,7 @@ class RelPosMultiHeadAttention(nn.Module):
         self.linear_k = nn.Dense(self.n_feat, dtype=self.dtype)
         self.linear_v = nn.Dense(self.n_feat, dtype=self.dtype)
         self.linear_out = nn.Dense(self.n_feat, dtype=self.dtype)
-        self.drop = make_dropout(self.dropout_rate)
+        self.drop = nn.Dropout(self.dropout_rate)
 
     def _heads(self, x):
         b, t, _ = x.shape
@@ -165,7 +164,7 @@ class ConvModule(nn.Module):
                                 jnp.float32)
         self.pw2_b = self.param("pw2_b", nn.initializers.zeros, (1,),
                                 jnp.float32)
-        self.drop = make_dropout(self.dropout_rate)
+        self.drop = nn.Dropout(self.dropout_rate)
 
     def _glu(self, x):
         a = (self.pw1_w[0].astype(self.dtype) * x
@@ -301,7 +300,7 @@ class ConformerEncoder(nn.Module):
     def setup(self):
         self.embed_linear = nn.Dense(self.attention_dim, dtype=self.dtype)
         self.embed_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
-        self.embed_drop = make_dropout(self.dropout_rate)
+        self.embed_drop = nn.Dropout(self.dropout_rate)
         if self.relative_pos_emb:
             d_k = self.attention_dim // self.attention_heads
             self.pe_k = self.param(
