@@ -76,20 +76,13 @@ class CssPipeline:
         # repairs stitcher identity flips at no-evidence boundaries using
         # long-horizon timbre profiles (executor/reanchor.py)
         self.reanchor = bool(sti.get("reanchor", False))
-        # boundary-offset ensemble: run the whole separate+stitch chain
-        # N times with the window grid shifted by i*hop/N and average the
-        # aligned mask timelines. Targets the measured error source of
-        # stitch routing — cross-window mask inconsistency at the same
-        # time region from uncentered analysis + per-window MVN edge
-        # effects (docs/ROADMAP.md "Stitcher boundary quality"): each
-        # time region is then seen at several positions within a window,
-        # and the average washes out the per-offset edge artifacts.
-        self.ensemble_offsets = int(sti.get("ensemble_offsets", 1))
-        if self.ensemble_offsets > 1 and self.sharded is not None:
-            raise ValueError(
-                "stitching.ensemble_offsets > 1 is not supported with "
-                "separation.sharded (the sharded program stitches on "
-                "device in one pass) — disable one of the two")
+        # (a boundary-offset mask ensemble — rerun separate+stitch over
+        # shifted window grids and average the aligned timelines — lived
+        # here through round 5; the flagship-scale 8-session A/B measured
+        # it NEGATIVE on both protocols (matched +2.11 vs +2.48, ladder
+        # +2.07 vs +2.66 at offsets=3 vs 1, exp/ensemble_ab.log) and it
+        # was deleted per the settle rule. docs/ROADMAP.md "Stitcher
+        # boundary quality" records the full lineage of failed fixes.)
         self.frame_hop = int(sep.get("frame_shift", 256))
         self.beamformer = Beamformer(
             bf_type=bf.get("type", "souden_mvdr"),
@@ -113,8 +106,6 @@ class CssPipeline:
         else:
             masks, mags = self.separator.separate(wav)
             stitched = [np.asarray(m) for m in self.stitcher(masks, mags)]
-            if self.ensemble_offsets > 1:
-                stitched = self._offset_ensemble(wav, stitched, hop)
         outs = self.beamformer.continuous_process(wav, stitched)
         outs = tuple(o[:total] for o in outs)
         if self.reanchor:
@@ -123,53 +114,6 @@ class CssPipeline:
             outs, _ = reanchor_streams(list(outs), sr=self.sr)
             outs = tuple(outs)
         return outs
-
-    def _offset_ensemble(self, wav, stitched, hop):
-        """Average the stitched mask timelines over shifted window grids.
-
-        ``stitched`` is the offset-0 result (K+1 x (T_total, F)). For
-        each extra offset the chain reruns on ``wav[..., o:]`` (o a
-        multiple of the fft hop, so mask frame j lands on global frame
-        j + o/fft_hop of the uncentered STFT grid), speaker streams are
-        aligned to the offset-0 streams by masked-mass agreement over
-        the shared frames (the noise stream needs no alignment), and
-        everything overlap-averages on the global frame grid.
-        """
-        import itertools
-
-        fft_hop = self.frame_hop
-        k = self.num_spk
-        base = [np.asarray(m) for m in stitched]
-        t_base = base[0].shape[0]
-        acc = [m.copy() for m in base]
-        cnt = np.ones(t_base, np.float32)
-        win = self.separator.win
-        for i in range(1, self.ensemble_offsets):
-            o = (i * hop // self.ensemble_offsets) // fft_hop * fft_hop
-            if o == 0:
-                continue
-            sub = wav[..., o:]
-            if sub.shape[-1] < win:
-                continue
-            sub = pad_for_windows(sub, win, hop)
-            masks, mags = self.separator.separate(sub)
-            off = [np.asarray(m) for m in self.stitcher(masks, mags)]
-            of = o // fft_hop
-            t_off = off[0].shape[0]
-            t_shared = min(t_base - of, t_off)
-            if t_shared <= 0:
-                continue
-            # stream alignment: agreement of masked mass on shared frames
-            agree = np.array(
-                [[float(np.sum(base[s][of:of + t_shared] * off[j][:t_shared]))
-                  for j in range(k)] for s in range(k)])
-            best = max(itertools.permutations(range(k)),
-                       key=lambda p: sum(agree[s][p[s]] for s in range(k)))
-            order = list(best) + list(range(k, len(off)))  # noise as-is
-            for s, j in enumerate(order):
-                acc[s][of:of + t_shared] += off[j][:t_shared]
-            cnt[of:of + t_shared] += 1.0
-        return [a / cnt[:, None] for a in acc]
 
     def process_recording(self, key: str, wav: np.ndarray, out_dir: str):
         """Separate one recording and write {key}_{i}.wav per stream

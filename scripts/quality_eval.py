@@ -75,11 +75,6 @@ def main(argv=None):
                         help="synthetic voice model (match training)")
     parser.add_argument("--workdir", default="/tmp/css_tpu_quality")
     parser.add_argument("--beamformer", default="masking")
-    parser.add_argument("--ensemble-offsets", type=int, default=1,
-                        help="boundary-offset ensemble: run separate+"
-                             "stitch N times on shifted window grids "
-                             "and average the aligned mask timelines "
-                             "(executor/pipeline.py)")
     parser.add_argument("--reanchor", action="store_true",
                         help="enable session-level stream-identity "
                              "re-anchoring (executor/reanchor.py)")
@@ -150,8 +145,7 @@ def main(argv=None):
             "separation": {"batch_size": 32, "eval_win": ew, "eval_hop": eh,
                            "frame_length": 512, "frame_shift": 256},
             "stitching": {"eval_win": ew, "eval_hop": eh, "hop_size": 256,
-                          "reanchor": ra,
-                          "ensemble_offsets": args.ensemble_offsets},
+                          "reanchor": ra},
             "beamforming": {"type": args.beamformer, "hop_size": 256,
                             "n_fft": 512, "eval_hop": eh, "eval_win": ew,
                             "proceed_margin": 2, "wta_thresh": 1e-4},

@@ -35,7 +35,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--only", default="base,dtype,ladder,micro",
+                    help="comma list of config groups to run "
+                         "(base,dtype,ladder,micro) — lets a rerun skip "
+                         "groups a tunnel RPC failure already measured")
     args = ap.parse_args()
+    groups = set(args.only.split(","))
 
     import jax
     import jax.numpy as jnp
@@ -84,19 +89,33 @@ def main():
         print(json.dumps(out), flush=True)
         return out
 
-    run(32, 2.5)                      # baseline (BENCH workload)
-    run(32, 2.064)                    # T=128: no lane padding anywhere
-    run(64, 2.5)                      # amortize small-op overhead
-    run(64, 2.064)
-    run(128, 2.064)
-    run(32, 2.5, dtype="f32")         # MXU-bound test: f32 ~2x => MXU
-    run(32, 2.5, prng="threefry2x32")  # dropout PRNG cost today
-    # round 5: can a 3-bucket ALIGNED ladder {2.064, 3.088, 4.112}s
-    # (T=128/192/256, frame_align=64) recover most of the alignment
-    # speedup without round 4's 2-bucket distribution collapse?
-    run(32, 3.088)                    # T=192 (scores pad 192->256)
-    run(64, 3.088)
-    run(32, 4.112)                    # T=256 fully aligned long bucket
+    def safe(*a, **kw):
+        # a single tunnel RPC failure must not kill the whole sweep
+        # (round 5: a remote_compile body-closed error did exactly that)
+        try:
+            run(*a, **kw)
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"config": [a, kw], "error": str(e)[:200]}),
+                  flush=True)
+
+    if "base" in groups:
+        safe(32, 2.5)                  # baseline (BENCH workload)
+        safe(32, 2.064)                # T=128: no lane padding anywhere
+        safe(64, 2.5)                  # amortize small-op overhead
+        safe(64, 2.064)
+        safe(128, 2.064)
+    if "dtype" in groups:
+        safe(32, 2.5, dtype="f32")     # MXU-bound test: f32 ~2x => MXU
+        safe(32, 2.5, prng="threefry2x32")  # dropout PRNG cost today
+    if "ladder" in groups:
+        # round 5: can a 3-bucket ALIGNED ladder {2.064, 3.088, 4.112}s
+        # (T=128/192/256, frame_align=64) recover most of the alignment
+        # speedup without round 4's 2-bucket distribution collapse?
+        safe(32, 3.088)                # T=192 (scores pad 192->256)
+        safe(64, 3.088)
+        safe(32, 4.112)                # T=256 fully aligned long bucket
+    if "micro" not in groups:
+        return
 
     # micro: is padding the 257-bin feature dim to 384 worth it?
     # prediction: NO — ceil(257/128)=3 K-tiles, same as 384/128=3, so

@@ -214,74 +214,3 @@ def test_pipeline_end_to_end(tmp_path):
     assert np.abs(out0).max() <= 0.91
     assert (tmp_path / "rec1_0.wav").exists()
     assert (tmp_path / "rec1_1.wav").exists()
-
-
-def test_offset_ensemble_pipeline(tmp_path):
-    """Boundary-offset ensemble: N shifted window grids average into one
-    mask timeline (executor/pipeline.py); output contract unchanged."""
-    from css_tpu.executor.pipeline import CssPipeline
-
-    model, variables = _tiny_model_and_vars()
-    config = {
-        "sampling_rate": 16000,
-        "separation": {"batch_size": 8, "eval_win": 2.4, "eval_hop": 0.8,
-                       "frame_length": 512, "frame_shift": 256},
-        "stitching": {"eval_win": 2.4, "eval_hop": 0.8, "hop_size": 256,
-                      "ensemble_offsets": 2},
-        "beamforming": {"type": "SoudenMVDRBeamformer", "hop_size": 256,
-                        "n_fft": 512, "eval_hop": 0.8, "eval_win": 2.4,
-                        "proceed_margin": 2, "wta_thresh": 1e-4},
-    }
-    pipe = CssPipeline(model, variables, config)
-    rng = np.random.default_rng(7)
-    wav = rng.standard_normal(16000 * 8).astype(np.float32) * 0.05
-    out0, out1 = pipe.process(wav)
-    assert out0.shape == wav.shape and out1.shape == wav.shape
-    assert np.isfinite(out0).all() and np.isfinite(out1).all()
-
-
-def test_offset_ensemble_aligns_swapped_streams():
-    """The ensemble must align stream identity per offset run: a run
-    whose stitched streams come back swapped contributes to the RIGHT
-    global streams."""
-    from css_tpu.executor.pipeline import CssPipeline
-
-    model, variables = _tiny_model_and_vars()
-    config = {
-        "sampling_rate": 16000,
-        "separation": {"batch_size": 8, "eval_win": 2.4, "eval_hop": 0.8,
-                       "frame_length": 512, "frame_shift": 256},
-        "stitching": {"eval_win": 2.4, "eval_hop": 0.8, "hop_size": 256,
-                      "ensemble_offsets": 2},
-    }
-    pipe = CssPipeline(model, variables, config)
-    t_base, f = 120, 257
-    base0 = np.zeros((t_base, f), np.float32)
-    base1 = np.zeros((t_base, f), np.float32)
-    base0[:, :128] = 1.0   # stream 0 owns low freqs
-    base1[:, 128:] = 1.0   # stream 1 owns high freqs
-    noise = np.full((t_base, f), 1e-4, np.float32)
-
-    class SwappedStitcher:
-        def __call__(self, masks, mags):
-            # offset run returns the SAME structure with streams swapped
-            t = 70
-            return (base1[:t], base0[:t], noise[:t])
-
-    class FakeSeparator:
-        win, hop = pipe.separator.win, pipe.separator.hop
-
-        def separate(self, wav):
-            return None, None
-
-    pipe.separator = FakeSeparator()
-    pipe.stitcher = SwappedStitcher()
-    wav = np.zeros(16000 * 3, np.float32)
-    out = pipe._offset_ensemble(wav, (base0, base1, noise),
-                                pipe.separator.hop)
-    of = (pipe.separator.hop // 2) // 256 * 256 // 256
-    # within the shared region both runs agree after alignment -> value 1
-    assert np.allclose(out[0][of:70, :128], 1.0)
-    assert np.allclose(out[1][of:70, 128:], 1.0)
-    # outside any offset coverage the base value is unchanged
-    assert np.allclose(out[0][:of, :128], 1.0)
