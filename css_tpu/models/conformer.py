@@ -92,10 +92,17 @@ class RelPosMultiHeadAttention(nn.Module):
         if pos_k is not None:
             scores = scores + jnp.einsum("bhtd,tsd->bhts", q,
                                          pos_k.astype(q.dtype))
-        scores = scores.astype(jnp.float32) / math.sqrt(d_k)
+        # scale and mask in the compute dtype; convert to f32 only AT the
+        # softmax input so XLA fuses the convert into the softmax. An
+        # earlier `.astype(f32) / sqrt(d_k)` here materialized the whole
+        # (B,H,T,S) score tensor in f32 and cost ~6% of chunked-inference
+        # throughput (round-5 drift A/B, exp/stft_ab.log + BASELINE.md).
+        scores = scores / jnp.asarray(math.sqrt(d_k), scores.dtype)
         if mask is not None:
-            scores = jnp.where(mask[None, None], scores, -1e9)
-        attn = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+            scores = jnp.where(mask[None, None], scores,
+                               jnp.asarray(-1e9, scores.dtype))
+        attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1
+                              ).astype(self.dtype)
         attn = self.drop(attn, deterministic=not train)
         out = jnp.einsum("bhts,bhsd->bhtd", attn, v)
         b, _, t, _ = q.shape
